@@ -1,0 +1,18 @@
+from dqn_zoo_tpu.replay.sum_tree import (
+    SumTree,
+    sum_tree_init,
+    sum_tree_set,
+    sum_tree_total,
+    sum_tree_query,
+    sum_tree_get,
+)
+from dqn_zoo_tpu.replay.device_replay import (
+    ReplayConfig,
+    ReplayState,
+    TransitionBatch,
+    replay_init,
+    replay_insert,
+    replay_sample,
+    replay_update_priorities,
+    importance_sampling_weights,
+)
