@@ -14,5 +14,6 @@ from dqn_zoo_tpu.replay.device_replay import (
     replay_insert,
     replay_sample,
     replay_update_priorities,
+    replay_size,
     importance_sampling_weights,
 )

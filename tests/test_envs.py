@@ -1,0 +1,130 @@
+"""Vector env tests: determinism, episode protocol, life-loss, rendering.
+
+Coverage mirrors gym_atari_test.py's strategy
+(/root/reference/dqn_zoo/gym_atari_test.py): same-seed bitwise determinism,
+different-seed divergence, noop-start behavior, plus group/auto-reset
+semantics specific to the vectorized design.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqn_zoo_tpu.envs import VectorAtariEnv, get_game
+from dqn_zoo_tpu.envs.vector import VectorEnvConfig
+
+
+def rollout(env, key, n_steps, policy=None, seed=0):
+  state = env.init(key)
+  step = jax.jit(env.step)
+  outs = []
+  akey = jax.random.PRNGKey(seed + 1000)
+  for i in range(n_steps):
+    akey, k = jax.random.split(akey)
+    actions = jax.random.randint(k, (env.batch_size,), 0, env.num_actions)
+    state, out = step(state, actions)
+    outs.append(jax.device_get(out))
+  return state, outs
+
+
+def test_first_step_emits_first():
+  env = VectorAtariEnv(get_game("catch"), batch_size=4)
+  state = env.init(jax.random.PRNGKey(0))
+  state, out = jax.jit(env.step)(state, jnp.zeros(4, jnp.int32))
+  assert out.is_first.all()
+  assert not out.is_last.any()
+  assert (out.frames_used == 1).all()
+  assert (np.asarray(out.frame_penult) == 0).all()
+  assert np.asarray(out.frame_last).sum() > 0  # rendered something
+
+
+def test_determinism_same_seed_divergence_diff_seed():
+  env = VectorAtariEnv(get_game("pong"), batch_size=2)
+  _, outs1 = rollout(env, jax.random.PRNGKey(7), 30)
+  _, outs2 = rollout(env, jax.random.PRNGKey(7), 30)
+  _, outs3 = rollout(env, jax.random.PRNGKey(8), 30)
+  for o1, o2 in zip(outs1, outs2):
+    np.testing.assert_array_equal(o1.frame_last, o2.frame_last)
+    np.testing.assert_array_equal(o1.reward_sum, o2.reward_sum)
+  diverged = any(
+      not np.array_equal(o1.frame_last, o3.frame_last)
+      for o1, o3 in zip(outs1, outs3))
+  assert diverged
+
+
+def test_catch_episode_protocol():
+  env = VectorAtariEnv(get_game("catch"), batch_size=8)
+  state, outs = rollout(env, jax.random.PRNGKey(0), 40)
+  firsts = np.stack([o.is_first for o in outs])  # (T, B)
+  lasts = np.stack([o.is_last for o in outs])
+  rewards = np.stack([o.raw_reward_sum for o in outs])
+  assert firsts[0].all()
+  # every env terminates at least once in 40 agent-steps (catch is ~25)
+  assert lasts.any(axis=0).all()
+  for b in range(8):
+    t_last = np.nonzero(lasts[:, b])[0][0]
+    # terminal reward is ±1
+    assert rewards[t_last, b] in (-1.0, 1.0)
+    # step after LAST is FIRST (auto-reset)
+    if t_last + 1 < len(outs):
+      assert firsts[t_last + 1, b]
+    # terminal discount is 0 (death)
+    assert outs[t_last].discount_prod[b] == 0.0
+
+
+def test_pong_scoring_happens():
+  env = VectorAtariEnv(get_game("pong"), batch_size=4)
+  state, outs = rollout(env, jax.random.PRNGKey(3), 200)
+  rewards = np.stack([o.raw_reward_sum for o in outs])
+  # with random actions the enemy scores: negative rewards must appear
+  assert (rewards < 0).any()
+
+
+def test_breakout_life_loss_zero_discount():
+  env = VectorAtariEnv(get_game("breakout"), batch_size=8)
+  state, outs = rollout(env, jax.random.PRNGKey(1), 300)
+  lives = np.stack([o.lives for o in outs])  # (T, B)
+  disc = np.stack([o.discount_prod for o in outs])
+  firsts = np.stack([o.is_first for o in outs])
+  found = 0
+  for b in range(8):
+    for t in range(1, len(outs)):
+      if firsts[t, b] or firsts[t - 1, b]:
+        continue
+      if lives[t, b] < lives[t - 1, b] and lives[t, b] > 0:
+        assert disc[t, b] == 0.0, f"life loss at t={t} b={b} must zero disc"
+        found += 1
+  assert found > 0, "no life losses observed in 300 steps of random play"
+
+
+def test_truncation_bootstraps():
+  cfg = VectorEnvConfig(episode_frame_cap=40)
+  env = VectorAtariEnv(get_game("pong"), batch_size=2, config=cfg)
+  state, outs = rollout(env, jax.random.PRNGKey(0), 15)
+  lasts = np.stack([o.is_last for o in outs])
+  truncs = np.stack([o.is_truncated for o in outs])
+  disc = np.stack([o.discount_prod for o in outs])
+  assert truncs.any(), "no truncation with a 40-frame cap"
+  t, b = np.argwhere(truncs)[0]
+  assert lasts[t, b]
+  assert disc[t, b] == 1.0  # truncated episodes bootstrap
+
+
+def test_noop_starts_vary_initial_state():
+  env = VectorAtariEnv(get_game("pong"), batch_size=16)
+  state = env.init(jax.random.PRNGKey(5))
+  state, out = jax.jit(env.step)(state, jnp.zeros(16, jnp.int32))
+  frames = np.asarray(out.frame_last)
+  # enemy paddle/ball positions differ across envs due to noop burn + serve rng
+  assert not all(
+      np.array_equal(frames[0], frames[i]) for i in range(1, 16))
+
+
+def test_frame_shape_and_dtype():
+  env = VectorAtariEnv(get_game("breakout"), batch_size=2)
+  state = env.init(jax.random.PRNGKey(0))
+  state, out = env.step(state, jnp.zeros(2, jnp.int32))
+  assert out.frame_last.shape == (2, 210, 160, 3)
+  assert out.frame_last.dtype == jnp.uint8
