@@ -1,0 +1,68 @@
+"""IQN implicit quantile networks (Dabney et al. 2018).
+
+Parity: ref iqn/agent.py:178-214 (quantile q-learning on sampled-τ
+distributions, TARGET-net selector, Huber κ=1), 64 τ samples each for
+policy/s_tm1/s_t, latent dim 64, uniform replay, Adam lr 5e-5, min fill 2%,
+eval ε 0.001 (iqn/run_atari.py:97-100 and flag defaults).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from dqn_zoo_tpu import nets, ops
+from dqn_zoo_tpu.agents.base import AgentSpec, LossOutput, register_agent
+
+TAU_LATENT_DIM = 64
+TAU_SAMPLES_POLICY = 64
+TAU_SAMPLES_S_TM1 = 64
+TAU_SAMPLES_S_T = 64
+HUBER_PARAM = 1.0
+
+
+def iqn_loss(network, online_params, target_params, batch, weights, key):
+  b = batch.a_tm1.shape[0]
+  key, k_tm1, k_sel, k_t = jax.random.split(key, 4)
+  tau_tm1 = jax.random.uniform(k_tm1, (b, TAU_SAMPLES_S_TM1))
+  tau_sel = jax.random.uniform(k_sel, (b, TAU_SAMPLES_POLICY))
+  tau_t = jax.random.uniform(k_t, (b, TAU_SAMPLES_S_T))
+  _, a0, a1, a2 = jax.random.split(key, 4)
+  dist_q_tm1 = network.apply(
+      online_params, a0, nets.IqnInputs(batch.s_tm1, tau_tm1)).q_dist
+  dist_q_sel = network.apply(
+      target_params, a1, nets.IqnInputs(batch.s_t, tau_sel)).q_dist
+  dist_q_target = network.apply(
+      target_params, a2, nets.IqnInputs(batch.s_t, tau_t)).q_dist
+  losses = ops.batch_quantile_q_learning(
+      dist_q_tm1, tau_tm1, batch.a_tm1, batch.r_t, batch.discount_t,
+      dist_q_sel, dist_q_target, HUBER_PARAM)
+  return LossOutput(loss=jnp.mean(losses * weights),
+                    priorities=jnp.abs(losses))
+
+
+def iqn_act(network, params, key, obs, epsilon):
+  b = obs.shape[0]
+  tau_key, apply_key, policy_key = jax.random.split(key, 3)
+  taus = jax.random.uniform(tau_key, (b, TAU_SAMPLES_POLICY))
+  q = network.apply(params, apply_key, nets.IqnInputs(obs, taus)).q_values
+  actions = ops.epsilon_greedy_sample(policy_key, q, epsilon)
+  return actions, jnp.max(q, axis=-1)
+
+
+def _init_network(module, key, sample_obs):
+  taus = jnp.zeros((sample_obs.shape[0], TAU_SAMPLES_S_TM1), jnp.float32)
+  return module.init(key, nets.IqnInputs(sample_obs, taus))
+
+
+SPEC = register_agent(AgentSpec(
+    name="iqn",
+    make_network=lambda n: nets.iqn_atari_network(n, TAU_LATENT_DIM),
+    loss=iqn_loss,
+    act=iqn_act,
+    init_network=_init_network,
+    exploration_epsilon_end=0.01,
+    eval_exploration_epsilon=0.001,
+    min_replay_capacity_fraction=0.02,
+    optimizer="adam",
+    learning_rate=0.00005,
+    optimizer_epsilon=0.01 / 32,
+))

@@ -1,0 +1,129 @@
+"""Engine integration tests: the jitted superstep end-to-end on CPU.
+
+Analogue of the reference's shrunk-flag run_atari_test.py smoke runs
+(e.g. dqn/run_atari_test.py:30-43): tiny env count / replay / batch, real
+game, full act→insert→env→prep→learn→target-swap path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dqn_zoo_tpu.agents import get_agent
+from dqn_zoo_tpu.engine import Engine, EngineConfig
+from dqn_zoo_tpu.envs.vector import VectorEnvConfig
+
+
+def tiny_engine(agent_name="dqn", game="catch", num_envs=4, slots=64,
+                **overrides):
+  cfg = EngineConfig(
+      agent=get_agent(agent_name),
+      game=game,
+      num_envs=num_envs,
+      slots_per_stream=slots,
+      batch_size=8,
+      learn_every=1,
+      updates_per_learn=1,
+      total_train_frames=100_000,
+      env_config=VectorEnvConfig(episode_frame_cap=2000),
+      **overrides,
+  )
+  return Engine(cfg)
+
+
+def test_superstep_runs_and_learns_gate():
+  eng = tiny_engine()
+  state = eng.init(jax.random.PRNGKey(0))
+  run = jax.jit(functools.partial(eng.run, num_supersteps=8))
+  state = run(state)
+  m = eng.metrics(state)
+  assert int(m.env_frames) > 0
+  # min fill = 5% of 256 ≈ 12 active transitions; after 8 supersteps × 4 envs
+  # some learning must have happened
+  state = run(state)
+  m = eng.metrics(state)
+  assert int(m.learn_steps) > 0
+  assert np.isfinite(float(m.last_loss))
+
+
+def test_replay_ratio_accounting():
+  eng = tiny_engine(num_envs=2, slots=32)
+  state = eng.init(jax.random.PRNGKey(1))
+  run = jax.jit(functools.partial(eng.run, num_supersteps=30))
+  state = run(state)
+  # inserted rows = supersteps - 1 (first has no pending row)
+  assert int(state.replay.t) == 29
+  assert int(state.superstep) == 30
+
+
+def test_episodes_complete_and_returns_tracked():
+  eng = tiny_engine(num_envs=8)
+  state = eng.init(jax.random.PRNGKey(2))
+  run = jax.jit(functools.partial(eng.run, num_supersteps=40))
+  state = run(state)
+  m = eng.metrics(state)
+  assert int(m.episodes) > 0  # catch episodes are ~25 agent-steps
+  assert np.isfinite(float(m.mean_episode_return))
+  assert -1.0 <= float(m.mean_episode_return) <= 1.0
+
+
+@pytest.mark.parametrize("agent_name", ["double_q", "prioritized", "c51",
+                                        "qrdqn", "rainbow", "iqn"])
+def test_all_agents_superstep(agent_name):
+  eng = tiny_engine(agent_name=agent_name, num_envs=2, slots=32)
+  state = eng.init(jax.random.PRNGKey(3))
+  run = jax.jit(functools.partial(eng.run, num_supersteps=12))
+  state = run(state)
+  m = eng.metrics(state)
+  assert int(m.env_frames) > 0
+  assert int(m.learn_steps) > 0
+  assert np.isfinite(float(m.last_loss))
+
+
+def test_eval_runs_and_counts_episodes():
+  eng = tiny_engine(num_envs=4)
+  tstate = eng.init(jax.random.PRNGKey(4))
+  estate = eng.eval_init(jax.random.PRNGKey(5), num_envs=4)
+  run = jax.jit(functools.partial(eng.eval_run, num_supersteps=40))
+  estate = run(tstate.online_params, estate)
+  assert int(estate.completed_count) > 0
+  mean_ret = float(estate.completed_return_sum) / int(estate.completed_count)
+  assert -1.0 <= mean_ret <= 1.0
+
+
+def test_epsilon_schedule_moves():
+  eng = tiny_engine()
+  e0 = float(eng.exploration_epsilon(0.0))
+  e_mid = float(eng.exploration_epsilon(60_000.0))
+  e_end = float(eng.exploration_epsilon(1e9))
+  assert e0 == 1.0
+  assert e0 > e_mid > 0.1
+  np.testing.assert_allclose(e_end, 0.1)
+
+
+def test_rainbow_epsilon_is_zero():
+  eng = tiny_engine(agent_name="rainbow", num_envs=2, slots=32)
+  assert float(eng.exploration_epsilon(0.0)) == 0.0
+
+
+def test_target_swap_happens():
+  eng = tiny_engine(num_envs=4)
+  # target period default is 40k frames; shrink via spec override
+  import dataclasses
+  spec = dataclasses.replace(get_agent("dqn"),
+                             target_network_update_period=64)
+  cfg = dataclasses.replace(eng.config, agent=spec)
+  eng2 = Engine(cfg)
+  state = eng2.init(jax.random.PRNGKey(6))
+  run = jax.jit(functools.partial(eng2.run, num_supersteps=20))
+  state = run(state)
+  # after >64 frames and some learning, target must equal a recent online —
+  # i.e. target differs from the initial params
+  init_state = eng2.init(jax.random.PRNGKey(6))
+  diff = jax.tree_util.tree_map(
+      lambda a, b: float(jnp.abs(a - b).max()),
+      state.target_params, init_state.target_params)
+  assert max(jax.tree_util.tree_leaves(diff)) > 0.0
