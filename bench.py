@@ -1,0 +1,88 @@
+"""Benchmark: rainbow actor-learner env-steps/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: steady-state environment steps (action-repeat groups) per second for
+the FULL rainbow training loop — env physics + rendering + preprocessing +
+prioritized replay + n-step + SGD — on one chip (BASELINE.md's
+env-steps/s/chip north star).
+
+Baseline: the reference architecture's throughput ceiling measured ON THE
+SAME hardware — a single-stream run (B=1) dispatched step-by-step from
+Python, which is how dqn_zoo drives its loop (SURVEY.md §3.2: host loop,
+two jit calls per 64 frames). This is generous to the baseline: the real
+dqn_zoo additionally pays host ALE + PIL + NumPy replay per frame.
+
+Usage: python bench.py [--smoke] [--num_envs N] [--agent rainbow]
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+
+
+def steady_rate(run, state, chunks, supersteps_per_chunk, num_envs):
+  t0 = time.time()
+  for _ in range(chunks):
+    state = run(state)
+  jax.block_until_ready(state.env_frames)
+  dt = time.time() - t0
+  steps = chunks * supersteps_per_chunk * num_envs
+  return steps / dt, state
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--smoke", action="store_true")
+  p.add_argument("--agent", default="rainbow")
+  p.add_argument("--game", default="pong")
+  p.add_argument("--num_envs", type=int, default=256)
+  args = p.parse_args()
+
+  from dqn_zoo_tpu.run.train import build_engine
+
+  chunk = 20 if args.smoke else 100
+  chunks = 2 if args.smoke else 5
+
+  # --- measured system: vectorized fused superstep ------------------------
+  eng = build_engine(args.agent, args.game, args.num_envs,
+                     replay_capacity=args.num_envs * 256,
+                     num_iterations=200, num_train_frames=10**6)
+  state = eng.init(jax.random.PRNGKey(0))
+  run = jax.jit(functools.partial(eng.run, num_supersteps=chunk))
+  state = run(state)  # compile + replay warmup
+  jax.block_until_ready(state.env_frames)
+  rate, state = steady_rate(run, state, chunks, chunk, args.num_envs)
+
+  # --- baseline: reference-style single-stream, per-step dispatch ---------
+  beng = build_engine(args.agent, args.game, 1, replay_capacity=2048,
+                      replay_ratio_mode="parity",
+                      num_iterations=200, num_train_frames=10**6)
+  bstate = beng.init(jax.random.PRNGKey(1))
+  bstep = jax.jit(functools.partial(beng.run, num_supersteps=1))
+  bstate = bstep(bstate)
+  jax.block_until_ready(bstate.env_frames)
+  n_base = 30 if args.smoke else 200
+  t0 = time.time()
+  for _ in range(n_base):
+    bstate = bstep(bstate)
+  jax.block_until_ready(bstate.env_frames)
+  base_rate = n_base / (time.time() - t0)
+
+  print(json.dumps({
+      "metric": f"env-steps/s/chip ({args.agent}/{args.game}, "
+                f"B={args.num_envs}, full train loop)",
+      "value": round(rate, 1),
+      "unit": "env-steps/s",
+      "vs_baseline": round(rate / base_rate, 1),
+  }))
+  return 0
+
+
+if __name__ == "__main__":
+  sys.exit(main())

@@ -57,6 +57,11 @@ class EngineConfig:
   env_config: VectorEnvConfig = VectorEnvConfig()
   # Mesh axis name for gradient psum; None on a single device.
   pmap_axis: Optional[str] = None
+  # Number of identical shards running this engine (multi-chip data
+  # parallelism): schedule clocks (ε, β, target swaps, min-fill) are driven
+  # by LOCAL counters scaled by this factor, so no collective is needed to
+  # keep global frame-unit semantics.
+  frame_multiplier: int = 1
 
   @property
   def replay_capacity(self) -> int:
@@ -151,10 +156,12 @@ class Engine:
     s = self.spec
     if s.greedy_actor:
       return jnp.zeros(())
+    m = self.config.frame_multiplier
     begin_t = s.min_replay_capacity_fraction * self.config.replay_capacity \
-        * self.config.env_config.action_repeat
+        * m * self.config.env_config.action_repeat
     decay = s.exploration_epsilon_decay_frame_fraction \
         * self.config.total_train_frames
+    env_frames = jnp.asarray(env_frames, jnp.float32) * m
     return linear_schedule(env_frames,
                            begin_value=s.exploration_epsilon_begin,
                            end_value=s.exploration_epsilon_end,
@@ -162,9 +169,11 @@ class Engine:
 
   def importance_sampling_exponent(self, inserted_transitions):
     s = self.spec
-    begin_t = s.min_replay_capacity_fraction * self.config.replay_capacity
+    m = self.config.frame_multiplier
+    begin_t = s.min_replay_capacity_fraction * self.config.replay_capacity * m
     end_t = self.config.total_train_frames \
         // self.config.env_config.action_repeat
+    inserted_transitions = jnp.asarray(inserted_transitions, jnp.float32) * m
     return linear_schedule(inserted_transitions,
                            begin_value=s.importance_sampling_begin,
                            end_value=s.importance_sampling_end,
@@ -308,8 +317,11 @@ class Engine:
         (state.online_params, state.target_params, state.opt_state, replay))
 
     # 7. target swap on frame-count boundary crossings (ref
-    # dqn/agent.py:155-156: frame_t % period == 0, generalized to streams).
-    period = self.spec.target_network_update_period
+    # dqn/agent.py:155-156: frame_t % period == 0, generalized to streams;
+    # under sharding the period is counted in global frames).
+    period = max(
+        1, self.spec.target_network_update_period
+        // self.config.frame_multiplier)
     crossed = (state.env_frames // period) != (env_frames // period)
     target = jax.tree.map(
         lambda o, t: jnp.where(crossed, o, t), online, state.target_params)

@@ -1,0 +1,73 @@
+"""Checkpointing.
+
+The reference ships only an interface stub (NullCheckpoint,
+parts.py:496-527) and tells users to plug in a real implementation
+(README.md:129-131). Here OrbaxCheckpoint persists the FULL training state —
+params, optimizer, device replay (frames + sum trees), env state, RNG,
+counters, telemetry — so a restored run is step-identical, satisfying the
+reference's determinism contract (README.md:201-210).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping, Tuple
+
+import jax
+import numpy as np
+
+
+class NullCheckpoint:
+  """No-op checkpoint (ref parts.py:496-527)."""
+
+  def can_be_restored(self) -> bool:
+    return False
+
+  def save(self, state, iteration, writer_state) -> None:
+    del state, iteration, writer_state
+
+  def restore(self, template):
+    raise RuntimeError("Nothing to restore.")
+
+
+class OrbaxCheckpoint:
+  """Single-slot orbax checkpoint of (engine state, iteration, writer)."""
+
+  def __init__(self, path: str):
+    import orbax.checkpoint as ocp
+    self._path = os.path.abspath(path)
+    self._checkpointer = ocp.StandardCheckpointer()
+    self._meta_path = os.path.join(self._path, "meta.npz")
+
+  @property
+  def _state_path(self) -> str:
+    return os.path.join(self._path, "state")
+
+  def can_be_restored(self) -> bool:
+    return os.path.exists(self._meta_path)
+
+  def save(self, state, iteration: int, writer_state: Mapping[str, Any]
+           ) -> None:
+    # Orbax writes atomically (tmp dir + rename) and asynchronously; force
+    # overwrites the previous slot and wait makes the meta file the commit
+    # point (it is written only after the state is durable).
+    self._checkpointer.save(self._state_path, jax.device_get(state),
+                            force=True)
+    self._checkpointer.wait_until_finished()
+    os.makedirs(self._path, exist_ok=True)
+    np.savez(self._meta_path, iteration=iteration,
+             header_written=writer_state.get("header_written", False),
+             fieldnames=np.asarray(writer_state.get("fieldnames") or [],
+                                   dtype=object))
+
+  def restore(self, template) -> Tuple[Any, int, Mapping[str, Any]]:
+    state = self._checkpointer.restore(self._state_path,
+                                       jax.device_get(template))
+    state = jax.device_put(state)
+    meta = np.load(self._meta_path, allow_pickle=True)
+    fieldnames = list(meta["fieldnames"]) or None
+    writer_state = {
+        "header_written": bool(meta["header_written"]),
+        "fieldnames": fieldnames,
+    }
+    return state, int(meta["iteration"]), writer_state
