@@ -1,0 +1,471 @@
+// Batched environment farm implementation. See dz_env.h.
+//
+// Games mirror the rules of the JAX implementations
+// (dqn_zoo_tpu/envs/games/*.py) but render DIRECTLY into the 84x84
+// grayscale observation (the JAX backend is the full-fidelity
+// 210x160-RGB-through-preprocessing parity path; this host backend trades
+// that for memory traffic — ~14 KB per env-step instead of ~800 KB).
+
+#include "dz_env.h"
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstring>
+#include <memory>
+#include <mutex>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kObs = 84;
+constexpr float kSy = 84.0f / 210.0f;  // world->obs scale (y)
+constexpr float kSx = 84.0f / 160.0f;  // world->obs scale (x)
+
+struct Rng {
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed ^ 0x9e3779b97f4a7c15ull) {}
+  uint64_t next() {
+    s += 0x9e3779b97f4a7c15ull;
+    uint64_t z = s;
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+    return z ^ (z >> 31);
+  }
+  float uniform(float lo, float hi) {
+    return lo + (hi - lo) * float(next() >> 40) / float(1 << 24);
+  }
+  int randint(int lo, int hi) {  // [lo, hi)
+    return lo + int(next() % uint64_t(hi - lo));
+  }
+  bool bernoulli() { return next() & 1; }
+};
+
+// Draws a filled rect given WORLD coordinates (210x160 space) into an 84x84
+// luma buffer.
+void draw_rect(uint8_t* obs, float y0, float y1, float x0, float x1,
+               uint8_t value) {
+  int oy0 = std::max(0, int(y0 * kSy));
+  int oy1 = std::min(kObs, int(std::ceil(y1 * kSy)));
+  int ox0 = std::max(0, int(x0 * kSx));
+  int ox1 = std::min(kObs, int(std::ceil(x1 * kSx)));
+  for (int y = oy0; y < oy1; ++y) {
+    uint8_t* row = obs + y * kObs;
+    for (int x = ox0; x < ox1; ++x) row[x] = std::max(row[x], value);
+  }
+}
+
+class Game {
+ public:
+  virtual ~Game() = default;
+  virtual void reset(Rng& rng) = 0;
+  // One raw frame. Returns reward; sets done/life_lost.
+  virtual float step(int action, Rng& rng, bool* done, bool* life_lost) = 0;
+  virtual void render(uint8_t* obs84) const = 0;  // paints onto zeroed buf
+  virtual int lives() const { return 1; }
+  virtual int num_actions() const = 0;
+};
+
+// ---------------------------------------------------------------- pong ----
+class Pong : public Game {
+ public:
+  int num_actions() const override { return 6; }
+
+  void reset(Rng& rng) override {
+    player_y_ = enemy_y_ = (34 + 194) / 2.0f - 8.0f;
+    ball_x_ = 80.0f;
+    ball_y_ = rng.uniform(54.0f, 170.0f);
+    serve(rng, rng.bernoulli());
+    p_score_ = e_score_ = 0;
+    serve_delay_ = rng.randint(2, 12);
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *life_lost = false;
+    bool up = action == 2 || action == 4;
+    bool down = action == 3 || action == 5;
+    player_y_ += up ? -4.0f : (down ? 4.0f : 0.0f);
+    player_y_ = std::clamp(player_y_, 34.0f, 194.0f - 16.0f);
+
+    float target = ball_y_ - 8.0f;
+    float diff = target - enemy_y_;
+    float edy = std::clamp(diff, -3.0f, 3.0f);
+    if (std::fabs(diff) < 2.0f) edy = 0.0f;
+    enemy_y_ = std::clamp(enemy_y_ + edy, 34.0f, 194.0f - 16.0f);
+
+    if (serve_delay_ > 0) {
+      --serve_delay_;
+    } else {
+      ball_x_ += vx_;
+      ball_y_ += vy_;
+    }
+    if (ball_y_ < 34.0f || ball_y_ > 190.0f) {
+      vy_ = -vy_;
+      ball_y_ = std::clamp(ball_y_, 34.0f, 190.0f);
+    }
+    // player paddle (x=140)
+    if (vx_ > 0 && ball_x_ + 4 >= 140 && ball_x_ <= 144 &&
+        ball_y_ + 4 >= player_y_ && ball_y_ <= player_y_ + 16) {
+      float off = (ball_y_ + 2 - (player_y_ + 8)) / 8.0f;
+      vy_ = std::clamp(vy_ + 2.0f * off, -4.0f, 4.0f);
+      vx_ = -std::min(std::fabs(vx_) + 0.15f, 5.0f);
+      ball_x_ = 136.0f;
+    }
+    // enemy paddle (x=16)
+    if (vx_ < 0 && ball_x_ <= 20 && ball_x_ + 4 >= 16 &&
+        ball_y_ + 4 >= enemy_y_ && ball_y_ <= enemy_y_ + 16) {
+      float off = (ball_y_ + 2 - (enemy_y_ + 8)) / 8.0f;
+      vy_ = std::clamp(vy_ + 2.0f * off, -4.0f, 4.0f);
+      vx_ = std::min(std::fabs(vx_) + 0.15f, 5.0f);
+      ball_x_ = 20.0f;
+    }
+    float reward = 0.0f;
+    if (ball_x_ < 0) {
+      reward = 1.0f;
+      ++p_score_;
+      respawn(rng, false);
+    } else if (ball_x_ > 156) {
+      reward = -1.0f;
+      ++e_score_;
+      respawn(rng, true);
+    }
+    *done = p_score_ >= 21 || e_score_ >= 21;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 24, 34, 0, 160, 120);
+    draw_rect(o, 194, 200, 0, 160, 120);
+    draw_rect(o, enemy_y_, enemy_y_ + 16, 16, 20, 140);
+    draw_rect(o, player_y_, player_y_ + 16, 140, 144, 150);
+    draw_rect(o, ball_y_, ball_y_ + 4, ball_x_, ball_x_ + 4, 236);
+  }
+
+ private:
+  void serve(Rng& rng, bool toward_player) {
+    vx_ = toward_player ? 3.0f : -3.0f;
+    vy_ = rng.uniform(-2.0f, 2.0f);
+  }
+  void respawn(Rng& rng, bool toward_player) {
+    ball_x_ = 80.0f;
+    ball_y_ = 114.0f;
+    serve(rng, toward_player);
+    serve_delay_ = 30;
+  }
+  float player_y_, enemy_y_, ball_x_, ball_y_, vx_, vy_;
+  int p_score_, e_score_, serve_delay_;
+};
+
+// ------------------------------------------------------------ breakout ----
+class Breakout : public Game {
+ public:
+  int num_actions() const override { return 4; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    paddle_x_ = rng.uniform(8.0f, 136.0f);
+    std::fill(bricks_, bricks_ + 108, true);
+    lives_ = 5;
+    ball_dead_ = true;
+    serve_delay_ = 0;
+    ball_x_ = 80;
+    ball_y_ = 120;
+    vx_ = 1.5f;
+    vy_ = -3.0f;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *life_lost = false;
+    *done = false;
+    if (action == 2) paddle_x_ += 6.0f;
+    if (action == 3) paddle_x_ -= 6.0f;
+    paddle_x_ = std::clamp(paddle_x_, 8.0f, 136.0f);
+
+    if (ball_dead_) {
+      ++serve_delay_;
+      if (action == 1 || serve_delay_ > 120) {
+        ball_dead_ = false;
+        ball_x_ = paddle_x_ + 8.0f;
+        ball_y_ = 179.0f;
+        vx_ = rng.bernoulli() ? 1.5f : -1.5f;
+        vy_ = -3.0f;
+        serve_delay_ = 0;
+      }
+      return 0.0f;
+    }
+    ball_x_ += vx_;
+    ball_y_ += vy_;
+    if (ball_x_ < 8 || ball_x_ > 150) {
+      vx_ = -vx_;
+      ball_x_ = std::clamp(ball_x_, 8.0f, 150.0f);
+    }
+    if (ball_y_ < 32) {
+      vy_ = -vy_;
+      ball_y_ = 32;
+    }
+    float reward = 0.0f;
+    int col = int((ball_x_ + 1 - 8) / 8.0f);
+    int row = int((ball_y_ + 1 - 57) / 6.0f);
+    if (row >= 0 && row < 6 && col >= 0 && col < 18 &&
+        bricks_[row * 18 + col]) {
+      bricks_[row * 18 + col] = false;
+      vy_ = -vy_;
+      static const float kPoints[6] = {7, 7, 4, 4, 1, 1};
+      reward = kPoints[row];
+      bool any = false;
+      for (bool b : bricks_) any |= b;
+      if (!any) std::fill(bricks_, bricks_ + 108, true);
+    }
+    if (vy_ > 0 && ball_y_ + 2 >= 189 && ball_y_ <= 193 &&
+        ball_x_ + 2 >= paddle_x_ && ball_x_ <= paddle_x_ + 16) {
+      float off = (ball_x_ + 1 - (paddle_x_ + 8)) / 8.0f;
+      vx_ = std::clamp(vx_ + 2.0f * off, -4.0f, 4.0f);
+      vy_ = -std::fabs(vy_) - 0.02f;
+      ball_y_ = 187.0f;
+    }
+    if (ball_y_ > 205) {
+      --lives_;
+      ball_dead_ = true;
+      if (lives_ <= 0) {
+        *done = true;
+      } else {
+        *life_lost = true;
+      }
+    }
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 17, 32, 0, 160, 120);
+    draw_rect(o, 32, 196, 0, 8, 120);
+    draw_rect(o, 32, 196, 152, 160, 120);
+    for (int r = 0; r < 6; ++r)
+      for (int c = 0; c < 18; ++c)
+        if (bricks_[r * 18 + c])
+          draw_rect(o, 57 + r * 6, 63 + r * 6, 8 + c * 8, 16 + c * 8,
+                    uint8_t(200 - r * 15));
+    draw_rect(o, 189, 193, paddle_x_, paddle_x_ + 16, 180);
+    if (!ball_dead_) draw_rect(o, ball_y_, ball_y_ + 2, ball_x_, ball_x_ + 2,
+                               236);
+  }
+
+ private:
+  float paddle_x_, ball_x_, ball_y_, vx_, vy_;
+  bool bricks_[108];
+  int lives_, serve_delay_;
+  bool ball_dead_;
+};
+
+// --------------------------------------------------------------- catch ----
+class Catch : public Game {
+ public:
+  int num_actions() const override { return 3; }
+
+  void reset(Rng& rng) override {
+    ball_col_ = rng.randint(0, 5);
+    paddle_col_ = rng.randint(0, 5);
+    ball_y_ = 20.0f;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *life_lost = false;
+    if (action == 1) paddle_col_ = std::max(0, paddle_col_ - 1);
+    if (action == 2) paddle_col_ = std::min(4, paddle_col_ + 1);
+    ball_y_ += 2.0f;
+    *done = ball_y_ >= 190.0f;
+    if (*done) return paddle_col_ == ball_col_ ? 1.0f : -1.0f;
+    return 0.0f;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, ball_y_, ball_y_ + 16, ball_col_ * 32 + 8,
+              ball_col_ * 32 + 24, 236);
+    draw_rect(o, 190, 198, paddle_col_ * 32, paddle_col_ * 32 + 32, 150);
+  }
+
+ private:
+  int ball_col_, paddle_col_;
+  float ball_y_;
+};
+
+std::unique_ptr<Game> make_game(const std::string& name) {
+  if (name == "pong") return std::make_unique<Pong>();
+  if (name == "breakout") return std::make_unique<Breakout>();
+  if (name == "catch") return std::make_unique<Catch>();
+  return nullptr;
+}
+
+// ----------------------------------------------------------------- env ----
+// One env instance: applies the Atari protocol around a Game (action repeat
+// with masked post-terminal frames, max-pool of the last two frames, noop
+// starts, frame cap truncation, auto-reset).
+class EnvInstance {
+ public:
+  EnvInstance(const std::string& game, uint64_t seed, int max_noops,
+              int action_repeat, int frame_cap)
+      : game_(make_game(game)), rng_(seed), max_noops_(max_noops),
+        repeat_(action_repeat), frame_cap_(frame_cap) {
+    needs_reset_ = true;
+  }
+
+  int num_actions() const { return game_->num_actions(); }
+
+  void agent_step(int action, uint8_t* obs84, float* reward, float* discount,
+                  uint8_t* flags, int32_t* lives, int32_t* frames) {
+    std::memset(obs84, 0, kObs * kObs);
+    if (needs_reset_) {
+      game_->reset(rng_);
+      int noops = rng_.randint(1, max_noops_ + 1);
+      bool done = false, ll = false;
+      for (int i = 0; i < noops && !done; ++i) game_->step(0, rng_, &done, &ll);
+      game_->render(obs84);
+      *reward = 0.0f;
+      *discount = 1.0f;
+      *flags = 1;  // FIRST
+      *lives = game_->lives();
+      *frames = 1;
+      episode_frames_ = 1;
+      needs_reset_ = false;
+      return;
+    }
+    uint8_t penult[kObs * kObs];
+    std::memset(penult, 0, sizeof(penult));
+    bool done = false;
+    float r_sum = 0.0f;
+    float disc = 1.0f;
+    int used = 0;
+    for (int m = 0; m < repeat_ && !done; ++m) {
+      bool ll = false;
+      r_sum += game_->step(action, rng_, &done, &ll);
+      if (ll) disc = 0.0f;
+      ++used;
+      if (m == repeat_ - 2) game_->render(penult);
+      if (m == repeat_ - 1) game_->render(obs84);
+    }
+    // max-pool penult/last (either may be zeros at episode boundaries)
+    for (int i = 0; i < kObs * kObs; ++i)
+      obs84[i] = std::max(obs84[i], penult[i]);
+    episode_frames_ += used;
+    bool truncated = !done && frame_cap_ > 0 && episode_frames_ >= frame_cap_;
+    if (done) disc = 0.0f;
+    *reward = r_sum;
+    *discount = disc;
+    *flags = uint8_t((done || truncated ? 2 : 0) | (truncated ? 4 : 0));
+    *lives = game_->lives();
+    *frames = used;
+    if (done || truncated) needs_reset_ = true;
+  }
+
+ private:
+  std::unique_ptr<Game> game_;
+  Rng rng_;
+  int max_noops_, repeat_, frame_cap_;
+  int episode_frames_ = 0;
+  bool needs_reset_;
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------- farm ----
+struct DzFarm {
+  std::vector<std::unique_ptr<EnvInstance>> envs;
+  std::vector<std::thread> workers;
+  // per-step shared pointers
+  const int32_t* actions = nullptr;
+  uint8_t* obs = nullptr;
+  float* rewards = nullptr;
+  float* discounts = nullptr;
+  uint8_t* flags = nullptr;
+  int32_t* lives = nullptr;
+  int32_t* frames = nullptr;
+  std::atomic<int> next{0};
+  std::atomic<int> pending{0};
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  bool work_ready = false, shutdown = false;
+  int generation = 0;
+
+  void worker_loop() {
+    int seen_gen = 0;
+    while (true) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return shutdown || generation != seen_gen; });
+        if (shutdown) return;
+        seen_gen = generation;
+      }
+      int n = int(envs.size());
+      for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+        envs[i]->agent_step(actions[i], obs + size_t(i) * kObs * kObs,
+                            rewards + i, discounts + i, flags + i, lives + i,
+                            frames + i);
+        if (pending.fetch_sub(1) == 1) {
+          std::lock_guard<std::mutex> lk(mu);
+          cv_done.notify_one();
+        }
+      }
+    }
+  }
+};
+
+extern "C" {
+
+DzFarm* dz_create(const char* game, int num_envs, uint64_t seed,
+                  int num_threads, int max_noops, int action_repeat,
+                  int episode_frame_cap) {
+  if (!make_game(game)) return nullptr;
+  auto* farm = new DzFarm();
+  farm->envs.reserve(num_envs);
+  for (int i = 0; i < num_envs; ++i)
+    farm->envs.push_back(std::make_unique<EnvInstance>(
+        game, seed * 0x9e3779b9u + i, max_noops, action_repeat,
+        episode_frame_cap));
+  int threads = num_threads > 0
+                    ? num_threads
+                    : std::max(1u, std::thread::hardware_concurrency());
+  threads = std::min<int>(threads, num_envs);
+  for (int t = 0; t < threads; ++t)
+    farm->workers.emplace_back([farm] { farm->worker_loop(); });
+  return farm;
+}
+
+void dz_destroy(DzFarm* farm) {
+  {
+    std::lock_guard<std::mutex> lk(farm->mu);
+    farm->shutdown = true;
+  }
+  farm->cv_work.notify_all();
+  for (auto& w : farm->workers) w.join();
+  delete farm;
+}
+
+int dz_num_actions(const DzFarm* farm) {
+  return farm->envs[0]->num_actions();
+}
+
+void dz_step(DzFarm* farm, const int32_t* actions, uint8_t* obs84,
+             float* rewards, float* discounts, uint8_t* flags,
+             int32_t* lives, int32_t* frames) {
+  farm->actions = actions;
+  farm->obs = obs84;
+  farm->rewards = rewards;
+  farm->discounts = discounts;
+  farm->flags = flags;
+  farm->lives = lives;
+  farm->frames = frames;
+  farm->next.store(0);
+  farm->pending.store(int(farm->envs.size()));
+  {
+    std::lock_guard<std::mutex> lk(farm->mu);
+    ++farm->generation;
+  }
+  farm->cv_work.notify_all();
+  std::unique_lock<std::mutex> lk(farm->mu);
+  farm->cv_done.wait(lk, [&] { return farm->pending.load() == 0; });
+}
+
+}  // extern "C"

@@ -80,14 +80,18 @@ class EngineConfig:
 
 
 class PendingRow(NamedTuple):
-  """Row k awaiting its action (chosen at the start of the next superstep)."""
+  """Row k awaiting its action (chosen at the start of the next superstep).
+
+  The initial pending row (before any env step) is marked terminal: terminal
+  rows never activate, so inserting it unconditionally is harmless — this
+  avoids a lax.cond over the multi-hundred-MB replay state, which would
+  force a copy of the frame store every superstep."""
 
   frame: jax.Array  # (B, 84, 84) uint8
   stack_count: jax.Array  # (B,)
   reward: jax.Array  # (B,) clipped aggregated reward received at o_k
   discount: jax.Array  # (B,) aggregated discount ×0.99
   is_terminal: jax.Array  # (B,)
-  valid: jax.Array  # () bool — false only before the first env step
 
 
 class Telemetry(NamedTuple):
@@ -198,8 +202,7 @@ class Engine:
             stack_count=jnp.ones((b,), jnp.int32),
             reward=zeros_b,
             discount=zeros_b,
-            is_terminal=jnp.zeros((b,), jnp.bool_),
-            valid=jnp.zeros((), jnp.bool_),
+            is_terminal=jnp.ones((b,), jnp.bool_),  # neutral first row
         ),
         replay=dr.replay_init(self.rcfg),
         online_params=online,
@@ -223,8 +226,12 @@ class Engine:
 
   # --- learning block -------------------------------------------------------
 
-  def _sgd_update(self, carry, key):
-    online, target, opt_state, replay = carry
+  def _sgd_update(self, replay_rows, target, carry, key):
+    """One SGD step. Only (params, opt_state, value_tree) are carried —
+    the bulky row data is read-only here, so it is closed over instead of
+    threaded through cond/scan (no copies of the frame store)."""
+    online, opt_state, value_tree = carry
+    replay = replay_rows._replace(value_tree=value_tree)
     sample_key, loss_key = jax.random.split(key)
     beta = self.importance_sampling_exponent(
         replay.t.astype(jnp.float32) * self.config.num_envs)
@@ -246,7 +253,8 @@ class Engine:
     if self.spec.priority_exponent > 0.0:
       replay = dr.replay_update_priorities(self.rcfg, replay, leaves,
                                            priorities)
-    return (online, target, opt_state, replay), loss
+      value_tree = replay.value_tree
+    return (online, opt_state, value_tree), loss
 
   # --- the superstep --------------------------------------------------------
 
@@ -260,20 +268,17 @@ class Engine:
     actions, values = self.spec.act(self.network, state.online_params,
                                     act_key, obs, eps)
 
-    # 2. insert the pending row, now that its action exists.
-    def do_insert(replay):
-      return dr.replay_insert(
-          self.rcfg, replay,
-          frame=state.pending.frame,
-          stack_count=state.pending.stack_count,
-          action=actions,
-          reward=state.pending.reward,
-          discount=state.pending.discount,
-          is_terminal=state.pending.is_terminal,
-      )
-
-    replay = jax.lax.cond(state.pending.valid, do_insert, lambda r: r,
-                          state.replay)
+    # 2. insert the pending row, now that its action exists (unconditional:
+    # the pre-first-step pending row is terminal ⇒ inert).
+    replay = dr.replay_insert(
+        self.rcfg, state.replay,
+        frame=state.pending.frame,
+        stack_count=state.pending.stack_count,
+        action=actions,
+        reward=state.pending.reward,
+        discount=state.pending.discount,
+        is_terminal=state.pending.is_terminal,
+    )
 
     # 3-4. env step + preprocessing.
     env_state, out = self.env.step(state.env, actions)
@@ -289,7 +294,6 @@ class Engine:
                          jnp.clip(out.reward_sum, -1.0, 1.0)),
         discount=jnp.where(out.is_first, 0.0, out.discount_prod * 0.99),
         is_terminal=out.is_last,
-        valid=jnp.ones((), jnp.bool_),
     )
 
     env_frames = state.env_frames + jnp.sum(out.frames_used)
@@ -299,22 +303,29 @@ class Engine:
     can_learn = (dr.replay_size(replay) >= min_fill) & \
         (jnp.mod(state.superstep, cfg.learn_every) == 0)
 
+    # Only the small mutable pieces go through the cond — the frame store and
+    # row fields are closed over read-only, so the cond moves ~MBs, not the
+    # full replay buffer.
+    import functools as _ft
+    sgd = _ft.partial(self._sgd_update, replay, state.target_params)
+
     def learn(operand):
-      online, target, opt_state, replay = operand
+      online, opt_state, value_tree = operand
       keys = jax.random.split(learn_key, cfg.updates_per_learn)
-      (online, target, opt_state, replay), losses = jax.lax.scan(
-          self._sgd_update, (online, target, opt_state, replay), keys)
-      return online, opt_state, replay, losses[-1], \
+      (online, opt_state, value_tree), losses = jax.lax.scan(
+          sgd, (online, opt_state, value_tree), keys)
+      return online, opt_state, value_tree, losses[-1], \
           jnp.asarray(cfg.updates_per_learn, jnp.int32)
 
     def no_learn(operand):
-      online, target, opt_state, replay = operand
-      return online, opt_state, replay, state.telemetry.last_loss, \
+      online, opt_state, value_tree = operand
+      return online, opt_state, value_tree, state.telemetry.last_loss, \
           jnp.zeros((), jnp.int32)
 
-    online, opt_state, replay, last_loss, nupd = jax.lax.cond(
+    online, opt_state, value_tree, last_loss, nupd = jax.lax.cond(
         can_learn, learn, no_learn,
-        (state.online_params, state.target_params, state.opt_state, replay))
+        (state.online_params, state.opt_state, replay.value_tree))
+    replay = replay._replace(value_tree=value_tree)
 
     # 7. target swap on frame-count boundary crossings (ref
     # dqn/agent.py:155-156: frame_t % period == 0, generalized to streams;

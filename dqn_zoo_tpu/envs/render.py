@@ -9,11 +9,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dqn_zoo_tpu.envs.api import FRAME_HEIGHT, FRAME_WIDTH
 
-_ROWS = jax.lax.broadcasted_iota(jnp.int32, (FRAME_HEIGHT, FRAME_WIDTH), 0)
-_COLS = jax.lax.broadcasted_iota(jnp.int32, (FRAME_HEIGHT, FRAME_WIDTH), 1)
+# Host constants (folded into compiled programs at trace time; no device
+# allocation at import).
+_ROWS = np.arange(FRAME_HEIGHT, dtype=np.int32)[:, None] + np.zeros(
+    (1, FRAME_WIDTH), np.int32)
+_COLS = np.arange(FRAME_WIDTH, dtype=np.int32)[None, :] + np.zeros(
+    (FRAME_HEIGHT, 1), np.int32)
 
 
 def rect_mask(y0, y1, x0, x1) -> jax.Array:

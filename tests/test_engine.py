@@ -54,8 +54,8 @@ def test_replay_ratio_accounting():
   state = eng.init(jax.random.PRNGKey(1))
   run = jax.jit(functools.partial(eng.run, num_supersteps=30))
   state = run(state)
-  # inserted rows = supersteps - 1 (first has no pending row)
-  assert int(state.replay.t) == 29
+  # one insert per superstep (the first inserts an inert terminal row)
+  assert int(state.replay.t) == 30
   assert int(state.superstep) == 30
 
 
