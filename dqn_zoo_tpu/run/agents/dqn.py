@@ -1,0 +1,16 @@
+"""Runs the dqn agent (ref dqn_zoo/dqn/run_atari.py equivalent)."""
+
+import sys
+
+from absl import app
+
+from dqn_zoo_tpu.run import train
+
+
+def main():
+  sys.argv.insert(1, "--agent=dqn")
+  app.run(train.main)
+
+
+if __name__ == "__main__":
+  main()
