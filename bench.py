@@ -27,6 +27,11 @@ import jax
 
 
 def steady_rate(run, state, chunks, supersteps_per_chunk, num_envs):
+  # Two discarded post-compile calls: the axon runtime's first executions of
+  # a program are 10-20x slower (one-time init), poisoning short timings.
+  for _ in range(2):
+    state = run(state)
+  jax.block_until_ready(state.env_frames)
   t0 = time.time()
   for _ in range(chunks):
     state = run(state)
@@ -65,7 +70,8 @@ def main():
                       num_iterations=200, num_train_frames=10**6)
   bstate = beng.init(jax.random.PRNGKey(1))
   bstep = jax.jit(functools.partial(beng.run, num_supersteps=1))
-  bstate = bstep(bstate)
+  for _ in range(3):  # compile + discard slow first executions
+    bstate = bstep(bstate)
   jax.block_until_ready(bstate.env_frames)
   n_base = 30 if args.smoke else 200
   t0 = time.time()

@@ -310,11 +310,15 @@ class Engine:
     sgd = _ft.partial(self._sgd_update, replay, state.target_params)
 
     def learn(operand):
-      online, opt_state, value_tree = operand
-      keys = jax.random.split(learn_key, cfg.updates_per_learn)
-      (online, opt_state, value_tree), losses = jax.lax.scan(
-          sgd, (online, opt_state, value_tree), keys)
-      return online, opt_state, value_tree, losses[-1], \
+      carry = operand
+      if cfg.updates_per_learn == 1:
+        carry, loss = sgd(carry, learn_key)
+      else:
+        keys = jax.random.split(learn_key, cfg.updates_per_learn)
+        carry, losses = jax.lax.scan(sgd, carry, keys)
+        loss = losses[-1]
+      online, opt_state, value_tree = carry
+      return online, opt_state, value_tree, loss, \
           jnp.asarray(cfg.updates_per_learn, jnp.int32)
 
     def no_learn(operand):

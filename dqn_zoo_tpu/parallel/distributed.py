@@ -97,23 +97,35 @@ class DistributedTrainer:
     self.axis = axis
 
   def init(self, key: jax.Array) -> DistState:
+    """Builds the initial DistState as ONE global jit computation.
+
+    Multi-host safe: nothing is materialized on the host and then
+    device_put across processes — the jit's out_shardings lay each
+    per-device shard out on its own device, and the replicated nets on all.
+    """
     d = self.mesh.size
-    keys = jax.random.split(key, d)
-    # Per-device states built with vmap (cheap: init is host-side light).
-    states = jax.vmap(self.engine.init)(keys)
-    per, online_d, target_d, opt_d = _split_state(states)
-    # Collapse the replicated nets (identical across the vmapped inits? NO —
-    # vmapped init used different keys). Re-init once for the shared nets.
-    state0 = self.engine.init(key)
     shard = NamedSharding(self.mesh, P(self.axis))
     repl = NamedSharding(self.mesh, P())
-    per = jax.tree.map(lambda x: jax.device_put(x, shard), per)
-    return DistState(
-        per_device=per,
-        online_params=jax.device_put(state0.online_params, repl),
-        target_params=jax.device_put(state0.target_params, repl),
-        opt_state=jax.device_put(state0.opt_state, repl),
+
+    def build(key):
+      keys = jax.random.split(jax.random.fold_in(key, 0), d)
+      states = jax.vmap(self.engine.init)(keys)
+      per, _, _, _ = _split_state(states)
+      # Shared nets from a single init (same key on every process).
+      state0 = self.engine.init(jax.random.fold_in(key, 1))
+      return (per, state0.online_params, state0.target_params,
+              state0.opt_state)
+
+    shapes = jax.eval_shape(build, key)
+    out_shardings = (
+        jax.tree.map(lambda _: shard, shapes[0]),
+        jax.tree.map(lambda _: repl, shapes[1]),
+        jax.tree.map(lambda _: repl, shapes[2]),
+        jax.tree.map(lambda _: repl, shapes[3]),
     )
+    per, online, target, opt = jax.jit(build, out_shardings=out_shardings)(
+        key)
+    return DistState(per, online, target, opt)
 
   def make_run(self, num_supersteps: int):
     """Returns a jitted distributed runner: DistState -> DistState."""
@@ -145,16 +157,28 @@ class DistributedTrainer:
     return run
 
   def metrics(self, dstate: DistState):
-    """Aggregated metrics across shards (host-side)."""
-    per = jax.device_get(dstate.per_device)
-    tel = per.telemetry
-    import numpy as np
-    total_frames = int(np.sum(per.env_frames))
-    episodes = float(np.sum(tel.completed_count))
-    ret_sum = float(np.sum(tel.completed_return_sum))
+    """Aggregated metrics across shards (psum'd in jit — multi-host safe,
+    every process reads its addressable replica)."""
+    axis = self.axis
+
+    def agg(per):
+      local = jax.tree.map(lambda x: jnp.squeeze(x, 0), per)
+      tel = local.telemetry
+      def tot(x):
+        return jax.lax.psum(x.astype(jnp.float32), axis)
+      return (tot(local.env_frames), tot(tel.completed_count),
+              tot(tel.completed_return_sum), tot(tel.learn_steps))
+
+    from jax.sharding import PartitionSpec as P2
+    agg_fn = jax.jit(jax.shard_map(
+        agg, mesh=self.mesh, in_specs=(P2(axis),), out_specs=P2(),
+        check_vma=False))
+    frames, eps, rets, learns = jax.device_get(agg_fn(dstate.per_device))
+    episodes = float(eps)
     return {
-        "env_frames": total_frames,
+        "env_frames": int(frames),
         "episodes": episodes,
-        "mean_episode_return": ret_sum / episodes if episodes else float("nan"),
-        "learn_steps": int(np.sum(tel.learn_steps)),
+        "mean_episode_return": float(rets) / episodes if episodes
+        else float("nan"),
+        "learn_steps": int(learns),
     }
