@@ -27,17 +27,24 @@ import jax
 
 
 def steady_rate(run, state, chunks, supersteps_per_chunk, num_envs):
-  # Two discarded post-compile calls: the axon runtime's first executions of
-  # a program are 10-20x slower (one-time init), poisoning short timings.
-  for _ in range(2):
+  """Median per-chunk rate, each chunk fully blocked.
+
+  The remote TPU runtime shows large transient timing artifacts (slow first
+  executions, occasional deferred-looking near-zero readings) — the median
+  of per-chunk wall times over a longer window is the robust estimator.
+  """
+  import statistics
+  for _ in range(2):  # discard slow post-compile executions
     state = run(state)
-  jax.block_until_ready(state.env_frames)
-  t0 = time.time()
+  jax.block_until_ready(jax.tree_util.tree_leaves(state))
+  times = []
   for _ in range(chunks):
+    t0 = time.time()
     state = run(state)
-  jax.block_until_ready(state.env_frames)
-  dt = time.time() - t0
-  steps = chunks * supersteps_per_chunk * num_envs
+    jax.block_until_ready(jax.tree_util.tree_leaves(state))
+    times.append(time.time() - t0)
+  dt = statistics.median(times)
+  steps = supersteps_per_chunk * num_envs
   return steps / dt, state
 
 
@@ -52,7 +59,7 @@ def main():
   from dqn_zoo_tpu.run.train import build_engine
 
   chunk = 20 if args.smoke else 100
-  chunks = 2 if args.smoke else 5
+  chunks = 3 if args.smoke else 15
 
   # --- measured system: vectorized fused superstep ------------------------
   eng = build_engine(args.agent, args.game, args.num_envs,
@@ -61,7 +68,7 @@ def main():
   state = eng.init(jax.random.PRNGKey(0))
   run = jax.jit(functools.partial(eng.run, num_supersteps=chunk))
   state = run(state)  # compile + replay warmup
-  jax.block_until_ready(state.env_frames)
+  jax.block_until_ready(jax.tree_util.tree_leaves(state))
   rate, state = steady_rate(run, state, chunks, chunk, args.num_envs)
 
   # --- baseline: reference-style single-stream, per-step dispatch ---------
@@ -72,12 +79,12 @@ def main():
   bstep = jax.jit(functools.partial(beng.run, num_supersteps=1))
   for _ in range(3):  # compile + discard slow first executions
     bstate = bstep(bstate)
-  jax.block_until_ready(bstate.env_frames)
+  jax.block_until_ready(jax.tree_util.tree_leaves(bstate))
   n_base = 30 if args.smoke else 200
   t0 = time.time()
   for _ in range(n_base):
     bstate = bstep(bstate)
-  jax.block_until_ready(bstate.env_frames)
+  jax.block_until_ready(jax.tree_util.tree_leaves(bstate))
   base_rate = n_base / (time.time() - t0)
 
   print(json.dumps({

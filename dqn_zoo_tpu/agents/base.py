@@ -37,7 +37,7 @@ ActFn = Callable[..., Tuple[jax.Array, jax.Array]]
 @dataclasses.dataclass(frozen=True)
 class AgentSpec:
   name: str
-  make_network: Callable[[int], Module]  # num_actions -> Module
+  make_network: Callable[..., Module]  # (num_actions, compute_dtype) -> Module
   loss: LossFn
   act: ActFn
   init_network: Optional[Callable[[Module, jax.Array, Any], Any]] = None
@@ -64,6 +64,7 @@ class AgentSpec:
   exploration_epsilon_decay_frame_fraction: float = 0.02
   eval_exploration_epsilon: float = 0.05
   greedy_actor: bool = False  # rainbow: noisy-net exploration, no ε
+  compute_dtype: str = "float32"  # "bfloat16" puts convs/matmuls on the MXU
   target_network_update_period: int = int(4e4)
   learn_period: int = 16
   batch_size: int = 32

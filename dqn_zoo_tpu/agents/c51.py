@@ -38,7 +38,8 @@ def c51_loss(network, online_params, target_params, batch, weights, key):
 
 SPEC = register_agent(AgentSpec(
     name="c51",
-    make_network=lambda n: nets.c51_atari_network(n, support()),
+    make_network=lambda n, dt=None: nets.c51_atari_network(
+        n, support(), compute_dtype=dt or "float32"),
     loss=c51_loss,
     act=epsilon_greedy_act,
     exploration_epsilon_end=0.01,

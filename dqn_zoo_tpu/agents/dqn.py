@@ -50,7 +50,8 @@ def epsilon_greedy_act(network, params, key, obs, epsilon):
 
 SPEC = register_agent(AgentSpec(
     name="dqn",
-    make_network=lambda num_actions: nets.dqn_atari_network(num_actions),
+    make_network=lambda n, dt=None: nets.dqn_atari_network(
+        n, compute_dtype=dt or "float32"),
     loss=q_learning_loss(double_q=False),
     act=epsilon_greedy_act,
 ))

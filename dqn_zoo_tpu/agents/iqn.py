@@ -55,7 +55,8 @@ def _init_network(module, key, sample_obs):
 
 SPEC = register_agent(AgentSpec(
     name="iqn",
-    make_network=lambda n: nets.iqn_atari_network(n, TAU_LATENT_DIM),
+    make_network=lambda n, dt=None: nets.iqn_atari_network(
+        n, TAU_LATENT_DIM, compute_dtype=dt or "float32"),
     loss=iqn_loss,
     act=iqn_act,
     init_network=_init_network,

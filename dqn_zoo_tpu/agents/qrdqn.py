@@ -35,7 +35,8 @@ def qrdqn_loss(network, online_params, target_params, batch, weights, key):
 
 SPEC = register_agent(AgentSpec(
     name="qrdqn",
-    make_network=lambda n: nets.qr_atari_network(n, quantiles()),
+    make_network=lambda n, dt=None: nets.qr_atari_network(
+        n, quantiles(), compute_dtype=dt or "float32"),
     loss=qrdqn_loss,
     act=epsilon_greedy_act,
     exploration_epsilon_end=0.01,

@@ -42,8 +42,8 @@ def greedy_noisy_act(network, params, key, obs, epsilon):
 
 SPEC = register_agent(AgentSpec(
     name="rainbow",
-    make_network=lambda n: nets.rainbow_atari_network(
-        n, support(), NOISY_WEIGHT_INIT),
+    make_network=lambda n, dt=None: nets.rainbow_atari_network(
+        n, support(), NOISY_WEIGHT_INIT, compute_dtype=dt or "float32"),
     loss=rainbow_loss,
     act=greedy_noisy_act,
     greedy_actor=True,  # train-time ε ≡ 0 (noisy-net exploration)

@@ -149,7 +149,8 @@ class Engine:
     self.spec = config.agent
     self.game = get_game(config.game)
     self.env = VectorAtariEnv(self.game, config.num_envs, config.env_config)
-    self.network = self.spec.make_network(self.game.num_actions)
+    self.network = self.spec.make_network(
+        self.game.num_actions, jnp.dtype(self.spec.compute_dtype))
     self.optimizer = make_optimizer(self.spec)
     self.rcfg = config.replay_config()
 

@@ -27,7 +27,8 @@ Key ideas
   (replay.py:808-823: r = Σ_m Π_{l<m}γ_l · r_m, γ = Π γ_m) happens on
   gathered rows at sample time, truncated at the first terminal row.
 
-* **Priorities via two device sum trees.** `value_tree` holds
+* **Priorities via two radix-128 fanout trees** (replay/fanout_tree.py —
+  lane-width segment sums, 2-3 levels instead of log2(P)). `value_tree` holds
   priority^α for *active* rows (0 = inactive, reproducing the reference's
   0^0 = 0 rule, replay.py:203-208); `indicator_tree` holds 1.0 for active
   rows, giving both the active count and uniform-among-active sampling for
@@ -54,7 +55,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from dqn_zoo_tpu.replay import sum_tree as st
+from dqn_zoo_tpu.replay import fanout_tree as ft
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,8 +90,8 @@ class ReplayState(NamedTuple):
   discount: jax.Array  # (S, C) float32 — aggregated discount at row (×0.99)
   is_terminal: jax.Array  # (S, C) bool — row is episode-final
   row_t: jax.Array  # (S, C) int32 — global step index of row, -1 if empty
-  value_tree: jax.Array  # (2P,) float32 — active priority^α
-  indicator_tree: jax.Array  # (2P,) float32 — 1.0 for active rows
+  value_tree: tuple  # fanout-tree levels — active priority^α at leaves
+  indicator_tree: tuple  # fanout-tree levels — 1.0 for active rows
   t: jax.Array  # () int32 — rows inserted per stream so far
   max_seen_priority: jax.Array  # () float32
 
@@ -119,8 +120,8 @@ def replay_init(cfg: ReplayConfig) -> ReplayState:
       discount=jnp.zeros((s, c), jnp.float32),
       is_terminal=jnp.zeros((s, c), jnp.bool_),
       row_t=jnp.full((s, c), -1, jnp.int32),
-      value_tree=st.sum_tree_init(cfg.leaf_capacity),
-      indicator_tree=st.sum_tree_init(cfg.leaf_capacity),
+      value_tree=ft.fanout_init(cfg.num_streams * cfg.slots_per_stream),
+      indicator_tree=ft.fanout_init(cfg.num_streams * cfg.slots_per_stream),
       t=jnp.zeros((), jnp.int32),
       max_seen_priority=jnp.ones((), jnp.float32),
   )
@@ -175,7 +176,7 @@ def replay_insert(
     exists = step >= 0
     right_row = new.row_t[sidx, a_slot] == step  # not yet overwritten
     not_terminal = ~new.is_terminal[sidx, a_slot]
-    inactive = st.sum_tree_get(new.indicator_tree, ids) == 0.0
+    inactive = ft.fanout_get(new.indicator_tree, ids) == 0.0
     mask = exists & right_row & not_terminal & inactive & extra_mask
     return ids, mask
 
@@ -204,16 +205,16 @@ def replay_insert(
   ])
   # Guarded activations of already-active leaves must not zero them: writes
   # are masked to the leaf's current value when mask is False.
-  cur_val = st.sum_tree_get(new.value_tree, act_ids)
-  cur_ind = st.sum_tree_get(new.indicator_tree, act_ids)
+  cur_val = ft.fanout_get(new.value_tree, act_ids)
+  cur_ind = ft.fanout_get(new.indicator_tree, act_ids)
   nkill = kill_ids.shape[0]
   value_writes = value_writes.at[nkill:].set(
       jnp.where(act_masks, prio, cur_val))
   indicator_writes = indicator_writes.at[nkill:].set(
       jnp.where(act_masks, 1.0, cur_ind))
 
-  value_tree = st.sum_tree_set(new.value_tree, all_ids, value_writes)
-  indicator_tree = st.sum_tree_set(new.indicator_tree, all_ids,
+  value_tree = ft.fanout_set(new.value_tree, all_ids, value_writes)
+  indicator_tree = ft.fanout_set(new.indicator_tree, all_ids,
                                    indicator_writes)
 
   return new._replace(value_tree=value_tree, indicator_tree=indicator_tree,
@@ -255,13 +256,13 @@ def replay_sample(
   c, n = cfg.slots_per_stream, cfg.n_step
   u_key, p_key, mix_key = jax.random.split(key, 3)
 
-  total_p = st.sum_tree_total(state.value_tree)
-  n_active = st.sum_tree_total(state.indicator_tree)
+  total_p = ft.fanout_total(state.value_tree)
+  n_active = ft.fanout_total(state.indicator_tree)
 
   prop_targets = jax.random.uniform(p_key, (batch_size,)) * total_p
   unif_targets = jax.random.uniform(u_key, (batch_size,)) * n_active
-  prop_leaves = st.sum_tree_query(state.value_tree, prop_targets)
-  unif_leaves = st.sum_tree_query(state.indicator_tree, unif_targets)
+  prop_leaves = ft.fanout_query(state.value_tree, prop_targets)
+  unif_leaves = ft.fanout_query(state.indicator_tree, unif_targets)
   use_uniform = (jax.random.uniform(mix_key, (batch_size,))
                  < cfg.uniform_sample_probability)
   leaves = jnp.where(use_uniform, unif_leaves, prop_leaves)
@@ -297,7 +298,7 @@ def replay_sample(
   )
 
   # --- importance sampling weights ------------------------------------------
-  p_leaf = st.sum_tree_get(state.value_tree, leaves)
+  p_leaf = ft.fanout_get(state.value_tree, leaves)
   u = cfg.uniform_sample_probability
   probs = (1.0 - u) * p_leaf / jnp.maximum(total_p, 1e-30) \
       + u / jnp.maximum(n_active, 1.0)
@@ -313,11 +314,11 @@ def replay_update_priorities(cfg: ReplayConfig, state: ReplayState,
                              leaves: jax.Array,
                              priorities: jax.Array) -> ReplayState:
   """Sets raw priorities of sampled rows (ref replay.py:727-740)."""
-  still_active = st.sum_tree_get(state.indicator_tree, leaves) > 0.0
-  cur = st.sum_tree_get(state.value_tree, leaves)
+  still_active = ft.fanout_get(state.indicator_tree, leaves) > 0.0
+  cur = ft.fanout_get(state.value_tree, leaves)
   vals = jnp.where(still_active, _pexp(priorities, cfg.priority_exponent),
                    cur)
-  value_tree = st.sum_tree_set(state.value_tree, leaves, vals)
+  value_tree = ft.fanout_set(state.value_tree, leaves, vals)
   max_seen = jnp.maximum(state.max_seen_priority, jnp.max(priorities))
   return state._replace(value_tree=value_tree, max_seen_priority=max_seen)
 
@@ -334,4 +335,4 @@ def importance_sampling_weights(probs: jax.Array, num: jax.Array,
 
 def replay_size(state: ReplayState) -> jax.Array:
   """Number of sampleable transitions (active rows)."""
-  return st.sum_tree_total(state.indicator_tree).astype(jnp.int32)
+  return ft.fanout_total(state.indicator_tree).astype(jnp.int32)

@@ -1,0 +1,115 @@
+"""Radix-128 fanout sum tree — the TPU-native prioritized-sampling index.
+
+The reference's binary sum tree (replay.py:246-426) maps poorly to TPU:
+log2(P) ≈ 16-20 sequential tiny ops per rebuild/query. A radix-R tree with
+R = 128 (the VPU lane width) needs only ceil(log128(P)) ≈ 2-3 levels:
+
+  leaves   (P,)        — P padded to a power of 128… actually to R^depth
+  level k  (P / R^k,)  — row sums of R children
+
+* rebuild: one (n, 128) row-sum per level (wide, layout-friendly)
+* query:   per level, gather the target node's 128 children, cumsum along
+           lanes, count how many prefix sums are <= target — all batched
+
+API mirrors replay/sum_tree.py so either index can back the replay;
+semantics are identical (prefix-sum query returns the smallest leaf i with
+cumsum(leaves)[i] > target).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+RADIX = 128
+
+
+def _depth_for(capacity: int) -> int:
+  d = 1
+  while RADIX**d < capacity:
+    d += 1
+  return d
+
+
+class FanoutTree:
+  """Static helpers namespace; the tree itself is a tuple of level arrays
+  (leaves first, root-most last), stored as a single flat pytree list."""
+
+
+def fanout_init(capacity: int):
+  """capacity must be a power of... any positive int; padded to RADIX^depth.
+
+  Returns the tree as a tuple of arrays: (leaves, lvl1, ..., root_lvl) where
+  root_lvl has size RADIX^0… its parent sums; the total is root_lvl.sum().
+  """
+  depth = _depth_for(capacity)
+  padded = RADIX**depth
+  levels = [jnp.zeros((padded,), jnp.float32)]
+  size = padded
+  for _ in range(depth):
+    size //= RADIX
+    levels.append(jnp.zeros((size,), jnp.float32))
+  return tuple(levels)
+
+
+def fanout_capacity(tree) -> int:
+  return tree[0].shape[0]
+
+
+def _rebuild_from(levels, start_level):
+  """Recomputes levels above `start_level` from that level down."""
+  levels = list(levels)
+  for k in range(start_level, len(levels) - 1):
+    levels[k + 1] = levels[k].reshape(-1, RADIX).sum(axis=1)
+  return tuple(levels)
+
+
+def fanout_set(tree, indices, values):
+  """Sets leaves at `indices` to `values` (duplicates: last write wins)."""
+  leaves = tree[0].at[indices].set(values.astype(jnp.float32))
+  return _rebuild_from((leaves,) + tree[1:], 0)
+
+
+def fanout_set_all(tree, leaves):
+  cap = fanout_capacity(tree)
+  full = jnp.zeros((cap,), jnp.float32)
+  full = jax.lax.dynamic_update_slice_in_dim(
+      full, leaves.astype(jnp.float32), 0, axis=0)
+  return _rebuild_from((full,) + tree[1:], 0)
+
+
+def fanout_total(tree):
+  return jnp.sum(tree[-1])
+
+
+def fanout_get(tree, indices):
+  return tree[0][indices]
+
+
+def fanout_leaves(tree):
+  return tree[0]
+
+
+def fanout_query(tree, targets):
+  """Batched prefix-sum query: smallest leaf i with cumsum(leaves)[i] > t.
+
+  Per level: gather the current node's RADIX children as rows, prefix-sum
+  along lanes, and count children whose inclusive prefix is <= t — that
+  count is the child index; subtract the exclusive prefix and descend.
+  """
+  t = jnp.asarray(targets, jnp.float32)
+  idx = jnp.zeros(t.shape, jnp.int32)  # node index at current level
+  # iterate root-1 level down to leaves
+  for level in range(len(tree) - 2, -1, -1):
+    nodes = tree[level].reshape(-1, RADIX)  # (n_nodes_above, RADIX)
+    children = nodes[idx]  # (..., RADIX)
+    prefix = jnp.cumsum(children, axis=-1)
+    child = jnp.sum((prefix <= t[..., None]).astype(jnp.int32), axis=-1)
+    child = jnp.minimum(child, RADIX - 1)
+    exclusive = prefix - children  # exclusive prefix sums
+    t = t - jnp.take_along_axis(exclusive, child[..., None],
+                                axis=-1)[..., 0]
+    idx = idx * RADIX + child
+  return idx
