@@ -267,29 +267,32 @@ class Catch : public Game {
 
   void reset(Rng& rng) override {
     ball_col_ = rng.randint(0, 5);
-    paddle_col_ = rng.randint(0, 5);
+    paddle_pos_ = float(rng.randint(0, 5));
     ball_y_ = 20.0f;
   }
 
   float step(int action, Rng& rng, bool* done, bool* life_lost) override {
     *life_lost = false;
-    if (action == 1) paddle_col_ = std::max(0, paddle_col_ - 1);
-    if (action == 2) paddle_col_ = std::min(4, paddle_col_ + 1);
+    // 0.25 columns per raw frame = 1 column per action-repeat-4 agent step
+    // (whole-column moves per frame made only edge columns reachable).
+    if (action == 1) paddle_pos_ = std::max(0.0f, paddle_pos_ - 0.25f);
+    if (action == 2) paddle_pos_ = std::min(4.0f, paddle_pos_ + 0.25f);
     ball_y_ += 2.0f;
     *done = ball_y_ >= 190.0f;
-    if (*done) return paddle_col_ == ball_col_ ? 1.0f : -1.0f;
+    if (*done)
+      return int(std::lround(paddle_pos_)) == ball_col_ ? 1.0f : -1.0f;
     return 0.0f;
   }
 
   void render(uint8_t* o) const override {
     draw_rect(o, ball_y_, ball_y_ + 16, ball_col_ * 32 + 8,
               ball_col_ * 32 + 24, 236);
-    draw_rect(o, 190, 198, paddle_col_ * 32, paddle_col_ * 32 + 32, 150);
+    draw_rect(o, 190, 198, paddle_pos_ * 32, paddle_pos_ * 32 + 32, 150);
   }
 
  private:
-  int ball_col_, paddle_col_;
-  float ball_y_;
+  int ball_col_;
+  float paddle_pos_, ball_y_;
 };
 
 std::unique_ptr<Game> make_game(const std::string& name) {

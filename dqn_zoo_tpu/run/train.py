@@ -57,7 +57,13 @@ _CHECKPOINT_PATH = flags.DEFINE_string("checkpoint_path", "",
 _REPLAY_RATIO_MODE = flags.DEFINE_enum(
     "replay_ratio_mode", "throughput", ["parity", "throughput"],
     "parity: batch 32 × many updates (exact reference schedule); "
-    "throughput: one big batch per superstep with the same sample ratio.")
+    "throughput: one big batch per superstep with the same sample ratio "
+    "and sqrt(batch/32) learning-rate scaling.")
+_EVAL_NUM_ENVS = flags.DEFINE_integer(
+    "eval_num_envs", 32,
+    "Eval env streams: fewer than training so whole episodes complete "
+    "within the eval frame budget (the reference runs ONE stream for 5e5 "
+    "frames; B streams each get budget/B frames).")
 
 
 def build_engine(agent_name: str, game: str, num_envs: int,
@@ -85,6 +91,12 @@ def build_engine(agent_name: str, game: str, num_envs: int,
       batch_size = max(spec.batch_size, samples_per_superstep)
   updates = max(1, round(samples_per_superstep / batch_size))
   learn_every = max(1, round(batch_size / samples_per_superstep))
+  if replay_ratio_mode == "throughput" and batch_size > spec.batch_size:
+    # Square-root LR scaling for the enlarged batch (keeps the SGD noise
+    # scale of the reference's batch-32 updates; parity mode leaves the
+    # reference hyperparameters untouched).
+    scale = (batch_size / spec.batch_size) ** 0.5
+    spec = dataclasses.replace(spec, learning_rate=spec.learning_rate * scale)
   slots = max(replay_capacity // b, spec.n_step + 5)
   return Engine(EngineConfig(
       agent=spec,
@@ -124,7 +136,8 @@ def main(argv):
   b = engine.config.num_envs
   frames_per_superstep = 4 * b
   train_supersteps = max(1, _NUM_TRAIN_FRAMES.value // frames_per_superstep)
-  eval_supersteps = max(1, _NUM_EVAL_FRAMES.value // frames_per_superstep)
+  eval_envs = min(_EVAL_NUM_ENVS.value, b)
+  eval_supersteps = max(1, _NUM_EVAL_FRAMES.value // (4 * eval_envs))
 
   import functools
   train_chunk = jax.jit(functools.partial(engine.run, num_supersteps=100))
@@ -151,7 +164,7 @@ def main(argv):
     # --- eval phase
     logging.info("Evaluation iteration %d.", iteration)
     rng, eval_key = jax.random.split(rng)
-    estate = engine.eval_init(eval_key)
+    estate = engine.eval_init(eval_key, num_envs=eval_envs)
     erate = StepRateTracker()
     erate.update(0)
     done = 0
