@@ -24,24 +24,41 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _force_scalar(state):
+  """Scalar that depends on EVERY leaf of the state pytree.
+
+  The remote TPU runtime defers execution as a graph: block_until_ready
+  returns before the work actually runs (verified: naive timing reads
+  ~8 PFLOP/s on a 4096³ matmul chain — 160× over chip peak). Only a host
+  fetch forces real execution, and the fetched value must depend on all
+  leaves or untouched subgraphs stay unexecuted.
+  """
+  total = jnp.zeros((), jnp.float32)
+  for leaf in jax.tree_util.tree_leaves(state):
+    total += jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+  return total
+
+
+def force(state):
+  return float(np.asarray(_force_scalar(state)))
 
 
 def steady_rate(run, state, chunks, supersteps_per_chunk, num_envs):
-  """Median per-chunk rate, each chunk fully blocked.
-
-  The remote TPU runtime shows large transient timing artifacts (slow first
-  executions, occasional deferred-looking near-zero readings) — the median
-  of per-chunk wall times over a longer window is the robust estimator.
-  """
+  """Median per-chunk rate, each chunk forced by a host fetch."""
   import statistics
   for _ in range(2):  # discard slow post-compile executions
     state = run(state)
-  jax.block_until_ready(jax.tree_util.tree_leaves(state))
+  force(state)
   times = []
   for _ in range(chunks):
     t0 = time.time()
     state = run(state)
-    jax.block_until_ready(jax.tree_util.tree_leaves(state))
+    force(state)
     times.append(time.time() - t0)
   dt = statistics.median(times)
   steps = supersteps_per_chunk * num_envs
@@ -68,7 +85,7 @@ def main():
   state = eng.init(jax.random.PRNGKey(0))
   run = jax.jit(functools.partial(eng.run, num_supersteps=chunk))
   state = run(state)  # compile + replay warmup
-  jax.block_until_ready(jax.tree_util.tree_leaves(state))
+  force(state)
   rate, state = steady_rate(run, state, chunks, chunk, args.num_envs)
 
   # --- baseline: reference-style single-stream, per-step dispatch ---------
@@ -79,12 +96,15 @@ def main():
   bstep = jax.jit(functools.partial(beng.run, num_supersteps=1))
   for _ in range(3):  # compile + discard slow first executions
     bstate = bstep(bstate)
-  jax.block_until_ready(jax.tree_util.tree_leaves(bstate))
+  force(bstate)
   n_base = 30 if args.smoke else 200
   t0 = time.time()
   for _ in range(n_base):
     bstate = bstep(bstate)
-  jax.block_until_ready(jax.tree_util.tree_leaves(bstate))
+    # Per-step fetch: the reference dispatches from Python and reads the
+    # action back every step (SURVEY.md §3.2), so the baseline pays the
+    # same host roundtrip it pays in real dqn_zoo.
+    force(bstate)
   base_rate = n_base / (time.time() - t0)
 
   print(json.dumps({

@@ -76,15 +76,17 @@ def conv2d(num_features: int,
 
   def apply(params, rng, x):
     del rng
+    # Output dtype follows compute_dtype (MXU still accumulates in f32);
+    # requesting preferred_element_type=f32 on a bf16 conv would break the
+    # transpose rule (cotangent f32 vs bf16 operand) in jax's conv grad.
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         params["w"].astype(compute_dtype),
         window_strides=strides,
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
-    return y + params["b"].astype(y.dtype)
+    ).astype(jnp.float32)
+    return y + params["b"]
 
   return Module(init, apply)
 

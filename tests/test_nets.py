@@ -135,3 +135,36 @@ def test_networks_jit_and_vmap_compose():
   f = jax.jit(lambda p, x: net.apply(p, None, x).q_values)
   q = f(params, jnp.asarray(SAMPLE))
   assert q.shape == (2, A)
+
+
+def test_bfloat16_compute_grads_flow():
+  """bf16 compute must be differentiable (regression: conv with
+  preferred_element_type=f32 on bf16 operands breaks jax's conv transpose
+  rule — 'requires arguments to have the same dtypes')."""
+  net = nets.dqn_atari_network(A, compute_dtype=jnp.bfloat16)
+  params = net.init(jax.random.PRNGKey(0), jnp.asarray(SAMPLE))
+
+  def loss(p):
+    out = net.apply(p, None, jnp.asarray(SAMPLE))
+    return jnp.sum(out.q_values ** 2)
+
+  grads = jax.grad(loss)(params)
+  for g in jax.tree_util.tree_leaves(grads):
+    assert g.dtype == jnp.float32
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_bfloat16_rainbow_grads_flow():
+  support = jnp.linspace(-10.0, 10.0, 51)
+  net = nets.rainbow_atari_network(A, support, 0.1,
+                                   compute_dtype=jnp.bfloat16)
+  params = net.init(jax.random.PRNGKey(0), jnp.asarray(SAMPLE))
+  rng = jax.random.PRNGKey(1)
+
+  def loss(p):
+    out = net.apply(p, rng, jnp.asarray(SAMPLE))
+    return jnp.sum(out.q_values ** 2)
+
+  grads = jax.grad(loss)(params)
+  for g in jax.tree_util.tree_leaves(grads):
+    assert np.isfinite(np.asarray(g)).all()
