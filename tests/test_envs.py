@@ -122,6 +122,63 @@ def test_noop_starts_vary_initial_state():
       np.array_equal(frames[0], frames[i]) for i in range(1, 16))
 
 
+def test_space_invaders_shooting_scores():
+  env = VectorAtariEnv(get_game("space_invaders"), batch_size=4)
+  state = env.init(jax.random.PRNGKey(2))
+  step = jax.jit(env.step)
+  fire = jnp.ones(4, jnp.int32)  # FIRE every agent-step
+  got_reward = False
+  for _ in range(40):
+    state, out = step(state, fire)
+    if (np.asarray(out.raw_reward_sum) > 0).any():
+      got_reward = True
+      break
+  assert got_reward, "constant FIRE never hit an alien in 40 agent-steps"
+
+
+def test_space_invaders_life_loss_zero_discount():
+  env = VectorAtariEnv(get_game("space_invaders"), batch_size=8)
+  state, outs = rollout(env, jax.random.PRNGKey(4), 400)
+  lives = np.stack([o.lives for o in outs])
+  disc = np.stack([o.discount_prod for o in outs])
+  firsts = np.stack([o.is_first for o in outs])
+  found = 0
+  for b in range(8):
+    for t in range(1, len(outs)):
+      if firsts[t, b] or firsts[t - 1, b]:
+        continue
+      if lives[t, b] < lives[t - 1, b] and lives[t, b] > 0:
+        assert disc[t, b] == 0.0
+        found += 1
+  assert found > 0, "no life losses observed in 400 steps of random play"
+
+
+def test_freeway_crossing_rewards():
+  env = VectorAtariEnv(get_game("freeway"), batch_size=4)
+  state = env.init(jax.random.PRNGKey(0))
+  step = jax.jit(env.step)
+  up = jnp.ones(4, jnp.int32)
+  total = np.zeros(4)
+  for _ in range(100):
+    state, out = step(state, up)
+    total += np.asarray(out.raw_reward_sum)
+  assert (total >= 1).all(), f"always-UP failed to cross: {total}"
+  # random play scores ~0 over the same horizon (anchor: random=0.0)
+  _, outs = rollout(env, jax.random.PRNGKey(9), 100)
+  rnd = np.stack([o.raw_reward_sum for o in outs]).sum(axis=0)
+  assert rnd.mean() < total.mean()
+
+
+def test_freeway_timed_termination():
+  from dqn_zoo_tpu.envs.games import freeway as fw
+  state = fw.freeway_init(jax.random.PRNGKey(0))
+  state = state._replace(
+      frame=jnp.asarray(fw.EPISODE_FRAMES - 1, jnp.int32))
+  _, reward, done, life_lost = fw.freeway_step(state, jnp.asarray(0))
+  assert bool(done)
+  assert not bool(life_lost)
+
+
 def test_frame_shape_and_dtype():
   env = VectorAtariEnv(get_game("breakout"), batch_size=2)
   state = env.init(jax.random.PRNGKey(0))
