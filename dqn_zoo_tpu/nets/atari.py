@@ -248,18 +248,23 @@ def iqn_atari_network(num_actions: int, latent_dim: int, *,
     torso_key, emb_key, head_key = (
         jax.random.split(rng, 3) if rng is not None else (None, None, None))
     state_embedding = torso.apply(params["torso"], torso_key, state)
-    # (B, S, latent) -> (B, S, state_dim), batch-applied over (B, S).
     cos_emb = _tau_embedding_raw(taus)
     b, s, _ = cos_emb.shape
     emb = core.linear(state_embedding.shape[-1],
                       compute_dtype=compute_dtype)
-    tau_embedding = emb.apply(params["tau_embed"], emb_key,
-                              cos_emb.reshape(b * s, latent_dim))
-    tau_embedding = jax.nn.relu(tau_embedding).reshape(b, s, -1)
-    head_input = tau_embedding * state_embedding[:, None, :]
-    q_dist = head.apply(params["head"], head_key,
-                        head_input.reshape(b * s, -1))
-    q_dist = q_dist.reshape(b, s, num_actions)
+
+    def per_tau(emb_params, head_params, cos_emb, state_embedding):
+      # (B, S, latent) -> (B, S, state_dim), batch-applied over (B, S).
+      tau_embedding = emb.apply(emb_params, emb_key,
+                                cos_emb.reshape(b * s, latent_dim))
+      tau_embedding = jax.nn.relu(tau_embedding).reshape(b, s, -1)
+      head_input = tau_embedding * state_embedding[:, None, :]
+      q_dist = head.apply(head_params, head_key,
+                          head_input.reshape(b * s, -1))
+      return q_dist.reshape(b, s, num_actions)
+
+    q_dist = per_tau(params["tau_embed"], params["head"], cos_emb,
+                     state_embedding)
     q_values = jnp.mean(q_dist, axis=1)
     return IqnOutputs(q_values=jax.lax.stop_gradient(q_values), q_dist=q_dist)
 

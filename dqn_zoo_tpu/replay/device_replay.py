@@ -56,6 +56,7 @@ import jax
 import jax.numpy as jnp
 
 from dqn_zoo_tpu.replay import fanout_tree as ft
+from dqn_zoo_tpu.replay import window_gather as wg
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,10 +69,24 @@ class ReplayConfig:
   priority_exponent: float = 0.0  # α; 0 → uniform replay
   uniform_sample_probability: float = 0.0  # mixture weight u
   normalize_weights: bool = True
+  use_pallas_gather: bool = False  # TPU: per-sample DMA window gathers
+  pallas_interpret: bool = False  # CPU tests of the Pallas path
 
   def __post_init__(self):
     if self.slots_per_stream <= self.n_step + self.stack_size:
       raise ValueError("slots_per_stream must exceed n_step + stack_size")
+
+  @property
+  def window(self) -> int:
+    """Consecutive rows covering both sampled stacks: K + n."""
+    return self.stack_size + self.n_step
+
+  @property
+  def slots_padded(self) -> int:
+    """Ring + wrap margin: rows [C, C+W-2] mirror slots [0, W-2] so a
+    sample window never wraps; row C+W-1 is a write sink for inserts with
+    no mirror."""
+    return self.slots_per_stream + self.window
 
   @property
   def leaf_capacity(self) -> int:
@@ -83,7 +98,9 @@ class ReplayConfig:
 
 
 class ReplayState(NamedTuple):
-  frames: jax.Array  # (S, C, F, F) uint8 — newest frame of each row's stack
+  frames: jax.Array  # (S, C+W, RH, RW) uint8 — padded rows (see
+  # window_gather): newest frame of each row's stack; rows C..C+W-2 mirror
+  # slots 0..W-2 so sample windows never wrap the ring
   stack_count: jax.Array  # (S, C) int32 in [1, K]
   action: jax.Array  # (S, C) int32
   reward: jax.Array  # (S, C) float32 — aggregated reward received at row
@@ -111,9 +128,10 @@ def _pexp(priorities: jax.Array, exponent: float) -> jax.Array:
 
 
 def replay_init(cfg: ReplayConfig) -> ReplayState:
-  s, c, f = cfg.num_streams, cfg.slots_per_stream, cfg.frame_size
+  s, c = cfg.num_streams, cfg.slots_per_stream
+  rh, rw = wg.row_shape(cfg.frame_size)
   return ReplayState(
-      frames=jnp.zeros((s, c, f, f), jnp.uint8),
+      frames=jnp.zeros((s, cfg.slots_padded, rh, rw), jnp.uint8),
       stack_count=jnp.ones((s, c), jnp.int32),
       action=jnp.zeros((s, c), jnp.int32),
       reward=jnp.zeros((s, c), jnp.float32),
@@ -152,7 +170,13 @@ def replay_insert(
 
   # --- write row fields -----------------------------------------------------
   sidx = jnp.arange(cfg.num_streams)
-  frames = state.frames.at[sidx, slot].set(frame)
+  row = wg.pad_frames(frame)
+  frames = state.frames.at[sidx, slot].set(row)
+  # Mirror early slots into the wrap margin (slots 0..W-2 → rows C..C+W-2);
+  # other inserts land in the write-sink row C+W-1.
+  w = cfg.window
+  mirror = jnp.where(slot < w - 1, c + slot, c + w - 1)
+  frames = frames.at[sidx, mirror].set(row)
   new = state._replace(
       frames=frames,
       stack_count=state.stack_count.at[sidx, slot].set(stack_count),
@@ -221,22 +245,23 @@ def replay_insert(
                       t=t + 1)
 
 
-def _gather_stack(cfg: ReplayConfig, state: ReplayState, stream: jax.Array,
-                  step: jax.Array) -> jax.Array:
-  """Reconstructs the (B, F, F, K) observation stack of row `step` (global
-  index) on `stream`, oldest-first channels with trailing zero padding —
-  exact Deque(4)+trailing_zero_pad semantics (processors.py:497-505)."""
-  c, k = cfg.slots_per_stream, cfg.stack_size
-  slot = jnp.mod(step, c)
-  count = state.stack_count[stream, slot]  # (B,)
-  chans = []
-  for j in range(k):
-    src_step = step - (count - 1) + j  # channel j holds frame of this step
-    valid = j < count
-    src_slot = jnp.mod(src_step, c)
-    f = state.frames[stream, src_slot]  # (B, F, F)
-    chans.append(jnp.where(valid[:, None, None], f, 0).astype(jnp.uint8))
-  return jnp.stack(chans, axis=-1)
+def _stack_from_window(cfg: ReplayConfig, window_frames: jax.Array,
+                       count: jax.Array, offset: jax.Array) -> jax.Array:
+  """Builds a (B, F, F, K) stack from gathered windows.
+
+  window_frames: (B, W, F, F) rows w0..w0+W-1 where w0 = k - (K-1).
+  The stack of the row at window position `offset` (K-1 for s_tm1,
+  K-1+m* for s_t) is channels j = offset - (count-1) + j, zero-padded for
+  j >= count — exact Deque(4)+trailing_zero_pad semantics
+  (processors.py:497-505)."""
+  k = cfg.stack_size
+  j = jnp.arange(k, dtype=jnp.int32)
+  idx = offset[:, None] - (count[:, None] - 1) + j[None, :]  # (B, K)
+  valid = j[None, :] < count[:, None]
+  idx = jnp.clip(idx, 0, cfg.window - 1)
+  stack = jnp.take_along_axis(window_frames, idx[:, :, None, None], axis=1)
+  stack = jnp.where(valid[:, :, None, None], stack, 0).astype(jnp.uint8)
+  return jnp.moveaxis(stack, 1, -1)  # (B, F, F, K)
 
 
 def replay_sample(
@@ -287,8 +312,18 @@ def replay_sample(
     m_star = jnp.where(live & term_m, m, m_star)
     ended = ended | term_m
 
-  s_tm1 = _gather_stack(cfg, state, stream, k_step)
-  s_t = _gather_stack(cfg, state, stream, k_step + m_star)
+  # --- one contiguous window gather covers both stacks -----------------------
+  k = cfg.stack_size
+  w0_slot = jnp.mod(k_step - (k - 1), c)  # never wraps: margin rows mirror
+  windows = wg.gather_windows(state.frames, stream, w0_slot, cfg.window,
+                              use_pallas=cfg.use_pallas_gather,
+                              interpret=cfg.pallas_interpret)
+  windows = wg.unpad_frames(windows, cfg.frame_size)  # (B, W, F, F)
+  count_tm1 = state.stack_count[stream, slot]
+  count_t = state.stack_count[stream, jnp.mod(k_step + m_star, c)]
+  off_tm1 = jnp.full((batch_size,), k - 1, jnp.int32)
+  s_tm1 = _stack_from_window(cfg, windows, count_tm1, off_tm1)
+  s_t = _stack_from_window(cfg, windows, count_t, off_tm1 + m_star)
   batch = TransitionBatch(
       s_tm1=s_tm1,
       a_tm1=state.action[stream, slot],

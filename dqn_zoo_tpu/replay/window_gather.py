@@ -1,0 +1,143 @@
+"""Contiguous-window frame gather: the replay sample's data path.
+
+Sampling a transition needs the K-frame stacks of rows k and k+m* — up to
+K + n consecutive ring rows. Gathering them as 2·K independent row gathers
+is issue-rate-bound on TPU (measured ~25 GB/s effective: each gathered
+slice costs ~1.5 µs regardless of size). One contiguous (K+n)-row window
+per sample cuts the slice count 8× and the bytes ~27% (the two stacks
+overlap).
+
+Two implementations of the same contract:
+  * `gather_windows_xla` — vmapped dynamic_slice (portable; CPU tests).
+  * `gather_windows_pallas` — one async DMA per sample row-window from the
+    HBM frame table, double-buffered over a semaphore ring (tested in
+    Pallas interpreter mode on CPU, used on TPU).
+
+Frames are stored as (RH, RW) = (64, 128)-padded uint8 rows (84·84 = 7056
+→ 8192 bytes) because Mosaic DMA slices must be aligned to the (sublane,
+lane) tiling; 84×84 rows are not.
+
+Replaces the reference's per-transition stacked-frame storage
+(replay.py:36-41 stores full s_tm1/s_t stacks per transition; we store one
+frame per row and reconstruct stacks at sample time).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RW = 128  # lane width
+_SUBLANE = 32  # uint8 sublane tile — DMA slices must be (32, 128)-aligned
+_PROGS = 8
+_NSEM = 16
+
+
+def row_shape(frame_size: int):
+  """Padded (RH, RW) uint8 row tile holding one frame_size² frame."""
+  rh = -(-(frame_size * frame_size) // RW)
+  rh = -(-rh // _SUBLANE) * _SUBLANE
+  return rh, RW
+
+
+def pad_frames(frames: jax.Array) -> jax.Array:
+  """(..., F, F) uint8 -> (..., RH, RW) padded rows."""
+  f = frames.shape[-1]
+  rh, rw = row_shape(f)
+  lead = frames.shape[:-2]
+  flat = frames.reshape(lead + (f * f,))
+  flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(0, rh * rw - f * f)])
+  return flat.reshape(lead + (rh, rw))
+
+
+def unpad_frames(rows: jax.Array, frame_size: int) -> jax.Array:
+  """(..., RH, RW) padded rows -> (..., F, F)."""
+  lead = rows.shape[:-2]
+  flat = rows.reshape(lead + (rows.shape[-2] * rows.shape[-1],))
+  return flat[..., :frame_size * frame_size].reshape(
+      lead + (frame_size, frame_size))
+
+
+def gather_windows_xla(frames: jax.Array, stream: jax.Array,
+                       start: jax.Array, window: int) -> jax.Array:
+  """frames (S, C', RH, RW) u8; stream/start (B,) i32 -> (B, W, RH, RW)."""
+
+  rh, rw = frames.shape[-2:]
+
+  def one(st, s0):
+    return jax.lax.dynamic_slice(
+        frames, (st, s0, 0, 0), (1, window, rh, rw))[0]
+
+  return jax.vmap(one)(stream, start)
+
+
+def _window_kernel(stream_ref, start_ref, frames_ref, out_ref, sems, *,
+                   window: int, rows_per_prog: int):
+  i = pl.program_id(0)
+  base = i * rows_per_prog
+
+  def mk(j):
+    st = stream_ref[base + j]
+    s0 = start_ref[base + j]
+    return pltpu.make_async_copy(
+        frames_ref.at[st, pl.ds(s0, window)],
+        out_ref.at[base + j],
+        sems.at[jax.lax.rem(j, _NSEM)])
+
+  def body(j, _):
+    @pl.when(j >= _NSEM)
+    def _():
+      mk(j - _NSEM).wait()
+    mk(j).start()
+    return 0
+
+  jax.lax.fori_loop(0, rows_per_prog, body, 0)
+
+  def drain(j, _):
+    mk(j).wait()
+    return 0
+
+  jax.lax.fori_loop(max(rows_per_prog - _NSEM, 0), rows_per_prog, drain, 0)
+
+
+def gather_windows_pallas(frames: jax.Array, stream: jax.Array,
+                          start: jax.Array, window: int,
+                          interpret: bool = False) -> jax.Array:
+  """Same contract as gather_windows_xla, via per-sample async DMA."""
+  b = stream.shape[0]
+  rows_per_prog = -(-b // _PROGS)
+  padded_b = rows_per_prog * _PROGS
+  if padded_b != b:
+    zpad = jnp.zeros((padded_b - b,), stream.dtype)
+    stream = jnp.concatenate([stream, zpad])
+    start = jnp.concatenate([start, zpad])
+
+  rh, rw = frames.shape[-2:]
+  out = pl.pallas_call(
+      functools.partial(_window_kernel, window=window,
+                        rows_per_prog=rows_per_prog),
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(_PROGS,),
+          in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+          out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+          scratch_shapes=[pltpu.SemaphoreType.DMA((_NSEM,))],
+      ),
+      out_shape=jax.ShapeDtypeStruct((padded_b, window, rh, rw), jnp.uint8),
+      compiler_params=pltpu.CompilerParams(has_side_effects=True),
+      interpret=interpret,
+  )(stream, start, frames)
+  return out[:b]
+
+
+def gather_windows(frames: jax.Array, stream: jax.Array, start: jax.Array,
+                   window: int, use_pallas: bool,
+                   interpret: bool = False) -> jax.Array:
+  if use_pallas:
+    return gather_windows_pallas(frames, stream, start, window,
+                                 interpret=interpret)
+  return gather_windows_xla(frames, stream, start, window)

@@ -64,7 +64,7 @@ def test_per_device_streams_diverge():
   # env RNG and replay contents must differ across devices
   rngs = np.asarray(per.rng)  # (D, 2)
   assert len({tuple(r) for r in rngs}) == rngs.shape[0]
-  frames = np.asarray(per.replay.frames)  # (D, S, C, 84, 84)
+  frames = np.asarray(per.replay.frames)  # (D, S, C+W, RH, RW) padded rows
   assert not all(
       np.array_equal(frames[0], frames[i]) for i in range(1, len(frames)))
 
