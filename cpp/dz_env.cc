@@ -295,10 +295,205 @@ class Catch : public Game {
   float paddle_pos_, ball_y_;
 };
 
+// ------------------------------------------------------ space invaders ----
+class SpaceInvaders : public Game {
+ public:
+  int num_actions() const override { return 6; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    player_x_ = rng.uniform(8.0f, 144.0f);
+    std::fill(aliens_, aliens_ + 36, true);
+    grid_x_ = 26.0f;
+    grid_y_ = 52.0f;
+    dir_ = 1.0f;
+    shot_live_ = false;
+    for (int i = 0; i < 3; ++i) bomb_live_[i] = false;
+    lives_ = 3;
+    wave_ = 0;
+    respawn_delay_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    bool right = action == 2 || action == 4;
+    bool left = action == 3 || action == 5;
+    bool fire = action == 1 || action == 4 || action == 5;
+    player_x_ += right ? 2.0f : (left ? -2.0f : 0.0f);
+    player_x_ = std::clamp(player_x_, 8.0f, 144.0f);
+
+    // March: speed grows as the wave thins and across waves.
+    int alive = 0;
+    for (bool a : aliens_) alive += a;
+    float speed = 0.25f + 0.9f * (1.0f - alive / 36.0f) + 0.1f * wave_;
+    float gx = grid_x_ + dir_ * speed;
+    int lo_col = 5, hi_col = 0;
+    for (int c = 0; c < 6; ++c)
+      for (int r = 0; r < 6; ++r)
+        if (aliens_[r * 6 + c]) {
+          lo_col = std::min(lo_col, c);
+          hi_col = std::max(hi_col, c);
+        }
+    if (gx + lo_col * 16 < 8.0f || gx + hi_col * 16 + 8 > 152.0f) {
+      dir_ = -dir_;
+      grid_y_ += 8.0f;
+    } else {
+      grid_x_ = gx;
+    }
+
+    if (fire && !shot_live_) {
+      shot_live_ = true;
+      shot_x_ = player_x_ + 4.0f;
+      shot_y_ = 183.0f;
+    }
+    float reward = 0.0f;
+    if (shot_live_) {
+      shot_y_ -= 6.0f;
+      if (shot_y_ <= 34.0f) shot_live_ = false;
+      int col = int(std::floor((shot_x_ - grid_x_) / 16.0f));
+      int row = int(std::floor((shot_y_ - grid_y_) / 14.0f));
+      float in_x = shot_x_ - grid_x_ - col * 16.0f;
+      float in_y = shot_y_ - grid_y_ - row * 14.0f;
+      if (row >= 0 && row < 6 && col >= 0 && col < 6 && in_x < 10.0f &&
+          in_y < 8.0f && aliens_[row * 6 + col]) {
+        aliens_[row * 6 + col] = false;
+        shot_live_ = false;
+        static const float kPoints[6] = {30, 25, 20, 15, 10, 5};
+        reward = kPoints[row];
+      }
+    }
+
+    // Bombs drop from the lowest live alien of a random column.
+    for (int i = 0; i < 3; ++i) {
+      if (!bomb_live_[i]) {
+        if (rng.uniform(0.0f, 1.0f) < 0.02f) {
+          int c = rng.randint(0, 6);
+          int low = -1;
+          for (int r = 0; r < 6; ++r)
+            if (aliens_[r * 6 + c]) low = r;
+          if (low >= 0) {
+            bomb_live_[i] = true;
+            bomb_x_[i] = grid_x_ + c * 16.0f + 4.0f;
+            bomb_y_[i] = grid_y_ + (low + 1) * 14.0f;
+          }
+        }
+        continue;
+      }
+      bomb_y_[i] += 2.5f;
+      if (bomb_y_[i] > 200.0f) bomb_live_[i] = false;
+    }
+    if (respawn_delay_ > 0) --respawn_delay_;
+    bool hit = false;
+    for (int i = 0; i < 3; ++i)
+      if (bomb_live_[i] && bomb_x_[i] + 2 >= player_x_ &&
+          bomb_x_[i] <= player_x_ + 8 && bomb_y_[i] + 6 >= 185.0f &&
+          bomb_y_[i] <= 193.0f)
+        hit = true;
+    if (hit && respawn_delay_ == 0) {
+      --lives_;
+      respawn_delay_ = 30;
+      for (int i = 0; i < 3; ++i) bomb_live_[i] = false;
+    }
+
+    bool any = false;
+    for (bool a : aliens_) any |= a;
+    if (!any) {  // wave cleared: respawn lower and faster
+      std::fill(aliens_, aliens_ + 36, true);
+      ++wave_;
+      grid_x_ = 26.0f;
+      grid_y_ = std::min(52.0f + 8.0f * wave_, 90.0f);
+    }
+    int low_row = 0;
+    for (int r = 0; r < 6; ++r)
+      for (int c = 0; c < 6; ++c)
+        if (aliens_[r * 6 + c]) low_row = std::max(low_row, r);
+    bool invaded = grid_y_ + low_row * 14.0f + 8.0f >= 185.0f;
+    *done = lives_ <= 0 || invaded;
+    *life_lost = hit && respawn_delay_ == 30 && !*done;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 195, 197, 0, 160, 120);
+    for (int r = 0; r < 6; ++r)
+      for (int c = 0; c < 6; ++c)
+        if (aliens_[r * 6 + c])
+          draw_rect(o, grid_y_ + r * 14, grid_y_ + r * 14 + 8,
+                    grid_x_ + c * 16, grid_x_ + c * 16 + 8, 180);
+    for (int i = 0; i < 3; ++i)
+      if (bomb_live_[i])
+        draw_rect(o, bomb_y_[i], bomb_y_[i] + 6, bomb_x_[i], bomb_x_[i] + 2,
+                  200);
+    if (shot_live_)
+      draw_rect(o, shot_y_, shot_y_ + 6, shot_x_, shot_x_ + 2, 236);
+    draw_rect(o, 185, 193, player_x_, player_x_ + 8, 150);
+  }
+
+ private:
+  float player_x_, grid_x_, grid_y_, dir_, shot_x_, shot_y_;
+  float bomb_x_[3], bomb_y_[3];
+  bool aliens_[36], shot_live_, bomb_live_[3];
+  int lives_, wave_, respawn_delay_;
+};
+
+// ------------------------------------------------------------- freeway ----
+class Freeway : public Game {
+ public:
+  int num_actions() const override { return 3; }
+
+  void reset(Rng& rng) override {
+    chicken_y_ = 186.0f;
+    for (int i = 0; i < 10; ++i) car_x_[i] = rng.uniform(0.0f, 160.0f);
+    frame_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *life_lost = false;
+    if (action == 1) chicken_y_ -= 2.0f;
+    if (action == 2) chicken_y_ += 2.0f;
+    chicken_y_ = std::clamp(chicken_y_, 18.0f, 186.0f);
+
+    static const float kSpeeds[10] = {1.2f, 2.0f, 1.5f, 2.5f, 1.8f,
+                                      1.8f, 2.5f, 1.5f, 2.0f, 1.2f};
+    for (int i = 0; i < 10; ++i) {
+      float d = i < 5 ? 1.0f : -1.0f;
+      car_x_[i] = std::fmod(car_x_[i] + d * kSpeeds[i] + 160.0f, 160.0f);
+      float lane_y = 24.0f + i * 16.0f + 3.0f;
+      bool oy = chicken_y_ + 8 >= lane_y && chicken_y_ <= lane_y + 10;
+      bool ox = car_x_[i] <= 50.0f && car_x_[i] + 16 >= 44.0f;
+      if (oy && ox) chicken_y_ = std::min(chicken_y_ + 24.0f, 186.0f);
+    }
+    float reward = 0.0f;
+    if (chicken_y_ <= 20.0f) {
+      reward = 1.0f;
+      chicken_y_ = 186.0f;
+    }
+    ++frame_;
+    *done = frame_ >= 8160;  // 2:16 at 60 Hz — the ALE game clock
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 0, 24, 0, 160, 90);
+    draw_rect(o, 184, 210, 0, 160, 90);
+    for (int i = 0; i < 10; ++i)
+      draw_rect(o, 24.0f + i * 16 + 3, 24.0f + i * 16 + 13, car_x_[i],
+                car_x_[i] + 16, 170);
+    draw_rect(o, chicken_y_, chicken_y_ + 8, 44, 50, 236);
+  }
+
+ private:
+  float chicken_y_, car_x_[10];
+  int frame_;
+};
+
 std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "pong") return std::make_unique<Pong>();
   if (name == "breakout") return std::make_unique<Breakout>();
   if (name == "catch") return std::make_unique<Catch>();
+  if (name == "space_invaders") return std::make_unique<SpaceInvaders>();
+  if (name == "freeway") return std::make_unique<Freeway>();
   return nullptr;
 }
 

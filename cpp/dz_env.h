@@ -6,8 +6,9 @@
 // Atari-protocol observations (action repeat, max-pool, grayscale 84x84,
 // noop starts, life-loss flags, frame caps) ready for device upload.
 //
-// Backends: built-in C++ games (pong/breakout/catch — same rules as the JAX
-// versions in dqn_zoo_tpu/envs/games); an ALE backend hook compiles in when
+// Backends: built-in C++ games (pong/breakout/catch/space_invaders/freeway
+// — same rules as the JAX versions in dqn_zoo_tpu/envs/games); an ALE
+// backend hook compiles in when
 // DZ_WITH_ALE is defined (not available in this image).
 
 #ifndef DZ_ENV_H_
@@ -19,8 +20,8 @@ extern "C" {
 
 typedef struct DzFarm DzFarm;
 
-// Creates a farm of `num_envs` instances of `game` ("pong", "breakout",
-// "catch"), stepped by `num_threads` workers (0 = hardware concurrency).
+// Creates a farm of `num_envs` instances of `game` ("pong", "breakout", "catch",
+// "space_invaders", "freeway"), stepped by `num_threads` workers (0 = hardware concurrency).
 // Returns nullptr on unknown game.
 DzFarm* dz_create(const char* game, int num_envs, uint64_t seed,
                   int num_threads, int max_noops, int action_repeat,

@@ -99,3 +99,17 @@ def test_host_env_engine_learns_catch():
   assert m["learn_steps"] > 0
   assert np.isfinite(m["last_loss"])
   env.close()
+
+
+def test_new_games_score_under_greedy_policy():
+  """space_invaders: constant FIRE hits aliens; freeway: constant UP
+  crosses. Mirrors the JAX-game tests in test_envs.py."""
+  for game, acts, greedy in [("space_invaders", 6, 1), ("freeway", 3, 1)]:
+    env = CppVectorEnv(game, batch_size=4, seed=7)
+    assert env.num_actions == acts
+    total = 0.0
+    for _ in range(300):
+      out = env.step(np.full((4,), greedy, np.int32))
+      total += float(np.sum(out.reward_sum))
+    env.close()
+    assert total > 0, f"{game}: greedy policy never scored"
