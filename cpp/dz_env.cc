@@ -364,33 +364,41 @@ class SpaceInvaders : public Game {
       }
     }
 
-    // Bombs drop from the lowest live alien of a random column.
+    // Bombs drop from the lowest live alien of a random column. Matches the
+    // JAX step's structure (games/space_invaders.py:131-148): column and
+    // spawn draws happen for EVERY slot every frame, and a just-spawned bomb
+    // falls on its spawn frame.
     for (int i = 0; i < 3; ++i) {
+      int c = rng.randint(0, 6);
+      float u = rng.uniform(0.0f, 1.0f);
       if (!bomb_live_[i]) {
-        if (rng.uniform(0.0f, 1.0f) < 0.02f) {
-          int c = rng.randint(0, 6);
-          int low = -1;
-          for (int r = 0; r < 6; ++r)
-            if (aliens_[r * 6 + c]) low = r;
-          if (low >= 0) {
-            bomb_live_[i] = true;
-            bomb_x_[i] = grid_x_ + c * 16.0f + 4.0f;
-            bomb_y_[i] = grid_y_ + (low + 1) * 14.0f;
-          }
+        int low = -1;
+        for (int r = 0; r < 6; ++r)
+          if (aliens_[r * 6 + c]) low = r;
+        if (low >= 0 && u < 0.02f) {
+          bomb_live_[i] = true;
+          bomb_x_[i] = grid_x_ + c * 16.0f + 4.0f;
+          bomb_y_[i] = grid_y_ + (low + 1) * 14.0f;
         }
-        continue;
       }
-      bomb_y_[i] += 2.5f;
-      if (bomb_y_[i] > 200.0f) bomb_live_[i] = false;
+      if (bomb_live_[i]) {
+        bomb_y_[i] += 2.5f;
+        if (bomb_y_[i] >= 200.0f) bomb_live_[i] = false;
+      }
     }
+    // Vulnerability is checked against the PRE-decrement delay, like the JAX
+    // step (games/space_invaders.py:151-152): a fresh hit gives exactly
+    // RESPAWN_FRAMES invulnerable frames.
+    bool vulnerable = respawn_delay_ <= 0;
     if (respawn_delay_ > 0) --respawn_delay_;
-    bool hit = false;
+    bool overlap = false;
     for (int i = 0; i < 3; ++i)
       if (bomb_live_[i] && bomb_x_[i] + 2 >= player_x_ &&
           bomb_x_[i] <= player_x_ + 8 && bomb_y_[i] + 6 >= 185.0f &&
           bomb_y_[i] <= 193.0f)
-        hit = true;
-    if (hit && respawn_delay_ == 0) {
+        overlap = true;
+    bool player_hit = overlap && vulnerable;
+    if (player_hit) {
       --lives_;
       respawn_delay_ = 30;
       for (int i = 0; i < 3; ++i) bomb_live_[i] = false;
@@ -410,7 +418,7 @@ class SpaceInvaders : public Game {
         if (aliens_[r * 6 + c]) low_row = std::max(low_row, r);
     bool invaded = grid_y_ + low_row * 14.0f + 8.0f >= 185.0f;
     *done = lives_ <= 0 || invaded;
-    *life_lost = hit && respawn_delay_ == 30 && !*done;
+    *life_lost = player_hit && !*done;
     return reward;
   }
 
@@ -456,14 +464,18 @@ class Freeway : public Game {
 
     static const float kSpeeds[10] = {1.2f, 2.0f, 1.5f, 2.5f, 1.8f,
                                       1.8f, 2.5f, 1.5f, 2.0f, 1.2f};
+    // Single any-hit knockback per frame, like the JAX step
+    // (games/freeway.py:79-80) — never one knockback per colliding lane.
+    bool hit = false;
     for (int i = 0; i < 10; ++i) {
       float d = i < 5 ? 1.0f : -1.0f;
       car_x_[i] = std::fmod(car_x_[i] + d * kSpeeds[i] + 160.0f, 160.0f);
       float lane_y = 24.0f + i * 16.0f + 3.0f;
       bool oy = chicken_y_ + 8 >= lane_y && chicken_y_ <= lane_y + 10;
       bool ox = car_x_[i] <= 50.0f && car_x_[i] + 16 >= 44.0f;
-      if (oy && ox) chicken_y_ = std::min(chicken_y_ + 24.0f, 186.0f);
+      hit = hit || (oy && ox);
     }
+    if (hit) chicken_y_ = std::min(chicken_y_ + 24.0f, 186.0f);
     float reward = 0.0f;
     if (chicken_y_ <= 20.0f) {
       reward = 1.0f;

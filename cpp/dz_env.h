@@ -7,9 +7,10 @@
 // noop starts, life-loss flags, frame caps) ready for device upload.
 //
 // Backends: built-in C++ games (pong/breakout/catch/space_invaders/freeway
-// — same rules as the JAX versions in dqn_zoo_tpu/envs/games); an ALE
-// backend hook compiles in when
-// DZ_WITH_ALE is defined (not available in this image).
+// — same rules and step order as the JAX versions in dqn_zoo_tpu/envs/games;
+// RNG draws are structured identically but the bit streams differ, so
+// trajectories match in distribution, not bitwise); an ALE backend hook
+// compiles in when DZ_WITH_ALE is defined (not available in this image).
 
 #ifndef DZ_ENV_H_
 #define DZ_ENV_H_

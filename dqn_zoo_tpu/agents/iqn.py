@@ -28,10 +28,16 @@ def iqn_loss(network, online_params, target_params, batch, weights, key):
   _, a0, a1, a2 = jax.random.split(key, 4)
   dist_q_tm1 = network.apply(
       online_params, a0, nets.IqnInputs(batch.s_tm1, tau_tm1)).q_dist
-  dist_q_sel = network.apply(
-      target_params, a1, nets.IqnInputs(batch.s_t, tau_sel)).q_dist
-  dist_q_target = network.apply(
-      target_params, a2, nets.IqnInputs(batch.s_t, tau_t)).q_dist
+  # One target apply on s_t with the selector and target τs concatenated:
+  # the per-τ head is independent per sample, so this is exactly the two
+  # applies of ref iqn/agent.py:188-198 with the s_t conv torso run once.
+  dist_both = network.apply(
+      target_params, a1,
+      nets.IqnInputs(batch.s_t,
+                     jnp.concatenate([tau_sel, tau_t], axis=1))).q_dist
+  del a2  # consumed by the fused apply above; kept to preserve key layout
+  dist_q_sel = dist_both[:, :TAU_SAMPLES_POLICY]
+  dist_q_target = dist_both[:, TAU_SAMPLES_POLICY:]
   losses = ops.batch_quantile_q_learning(
       dist_q_tm1, tau_tm1, batch.a_tm1, batch.r_t, batch.discount_t,
       dist_q_sel, dist_q_target, HUBER_PARAM)

@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dqn_zoo_tpu.nets import core
+from dqn_zoo_tpu.nets import core, iqn_head
 from dqn_zoo_tpu.nets.core import Module
 
 
@@ -228,12 +228,18 @@ def rainbow_atari_network(num_actions: int, support: jax.Array,
 
 
 def iqn_atari_network(num_actions: int, latent_dim: int, *,
-                      compute_dtype=jnp.float32) -> Module:
+                      compute_dtype=jnp.float32,
+                      fused_head: bool | None = None) -> Module:
   """Implicit quantile net (ref networks.py:264-292).
 
   tau embedding: cos(pi·i·tau), i=1..latent_dim → linear(state_dim) → relu;
   head input = tau_embedding * state_embedding (broadcast over samples);
   shared value head applied per tau sample; q = mean over samples.
+
+  On TPU (or with fused_head=True) the per-τ chain runs as the fused Pallas
+  op in nets/iqn_head.py, which keeps the (rows, state_dim) intermediates in
+  VMEM; elsewhere the plain XLA path is used. Both paths compute the same
+  f32 math (differential-tested in tests/test_iqn_head.py).
   """
   torso = dqn_torso(compute_dtype=compute_dtype)
   # state_dim for the 84x84x4 torso is 3136; inferred at init.
@@ -245,26 +251,20 @@ def iqn_atari_network(num_actions: int, latent_dim: int, *,
 
   def apply(params, rng, inputs: IqnInputs):
     state, taus = inputs.state, inputs.taus
-    torso_key, emb_key, head_key = (
-        jax.random.split(rng, 3) if rng is not None else (None, None, None))
+    torso_key = rng if rng is None else jax.random.fold_in(rng, 0)
     state_embedding = torso.apply(params["torso"], torso_key, state)
     cos_emb = _tau_embedding_raw(taus)
     b, s, _ = cos_emb.shape
-    emb = core.linear(state_embedding.shape[-1],
-                      compute_dtype=compute_dtype)
-
-    def per_tau(emb_params, head_params, cos_emb, state_embedding):
-      # (B, S, latent) -> (B, S, state_dim), batch-applied over (B, S).
-      tau_embedding = emb.apply(emb_params, emb_key,
-                                cos_emb.reshape(b * s, latent_dim))
-      tau_embedding = jax.nn.relu(tau_embedding).reshape(b, s, -1)
-      head_input = tau_embedding * state_embedding[:, None, :]
-      q_dist = head.apply(head_params, head_key,
-                          head_input.reshape(b * s, -1))
-      return q_dist.reshape(b, s, num_actions)
-
-    q_dist = per_tau(params["tau_embed"], params["head"], cos_emb,
-                     state_embedding)
+    use_fused = (fused_head if fused_head is not None
+                 else jax.default_backend() == "tpu")
+    use_fused = use_fused and iqn_head.fused_shapes_ok(b, s)
+    we = params["tau_embed"]["w"]
+    be = params["tau_embed"]["b"]
+    hd = params["head"]
+    args = (we, be, hd["hidden"]["w"], hd["hidden"]["b"], hd["out"]["w"],
+            hd["out"]["b"], cos_emb, state_embedding)
+    q_dist = (iqn_head.iqn_head_fused(*args) if use_fused
+              else iqn_head.iqn_head_xla(*args))
     q_values = jnp.mean(q_dist, axis=1)
     return IqnOutputs(q_values=jax.lax.stop_gradient(q_values), q_dist=q_dist)
 

@@ -217,29 +217,32 @@ def replay_insert(
   act_ids = jnp.concatenate(act_ids)
   act_masks = jnp.concatenate(act_masks)
 
-  prio = _pexp(state.max_seen_priority, cfg.priority_exponent)
   all_ids = jnp.concatenate([kill_ids, act_ids])
-  value_writes = jnp.concatenate([
-      jnp.zeros_like(kill_ids, dtype=jnp.float32),
-      jnp.where(act_masks, prio, 0.0),
-  ])
-  indicator_writes = jnp.concatenate([
-      jnp.zeros_like(kill_ids, dtype=jnp.float32),
-      act_masks.astype(jnp.float32),
-  ])
+  nkill = kill_ids.shape[0]
   # Guarded activations of already-active leaves must not zero them: writes
   # are masked to the leaf's current value when mask is False.
-  cur_val = ft.fanout_get(new.value_tree, act_ids)
   cur_ind = ft.fanout_get(new.indicator_tree, act_ids)
-  nkill = kill_ids.shape[0]
-  value_writes = value_writes.at[nkill:].set(
-      jnp.where(act_masks, prio, cur_val))
-  indicator_writes = indicator_writes.at[nkill:].set(
-      jnp.where(act_masks, 1.0, cur_ind))
-
-  value_tree = ft.fanout_set(new.value_tree, all_ids, value_writes)
+  indicator_writes = jnp.concatenate([
+      jnp.zeros_like(kill_ids, dtype=jnp.float32),
+      jnp.where(act_masks, 1.0, cur_ind),
+  ])
   indicator_tree = ft.fanout_set(new.indicator_tree, all_ids,
-                                   indicator_writes)
+                                 indicator_writes)
+
+  if cfg.priority_exponent == 0.0:
+    # Uniform fast path: priority^0 of an active row is exactly 1, so the
+    # value tree is the indicator tree — one rebuild per insert, not two
+    # (the reference's uniform replay likewise never touches a sum tree,
+    # replay.py:120-200).
+    value_tree = indicator_tree
+  else:
+    prio = _pexp(state.max_seen_priority, cfg.priority_exponent)
+    cur_val = ft.fanout_get(new.value_tree, act_ids)
+    value_writes = jnp.concatenate([
+        jnp.zeros_like(kill_ids, dtype=jnp.float32),
+        jnp.where(act_masks, prio, cur_val),
+    ])
+    value_tree = ft.fanout_set(new.value_tree, all_ids, value_writes)
 
   return new._replace(value_tree=value_tree, indicator_tree=indicator_tree,
                       t=t + 1)
@@ -284,13 +287,20 @@ def replay_sample(
   total_p = ft.fanout_total(state.value_tree)
   n_active = ft.fanout_total(state.indicator_tree)
 
-  prop_targets = jax.random.uniform(p_key, (batch_size,)) * total_p
-  unif_targets = jax.random.uniform(u_key, (batch_size,)) * n_active
-  prop_leaves = ft.fanout_query(state.value_tree, prop_targets)
-  unif_leaves = ft.fanout_query(state.indicator_tree, unif_targets)
-  use_uniform = (jax.random.uniform(mix_key, (batch_size,))
-                 < cfg.uniform_sample_probability)
-  leaves = jnp.where(use_uniform, unif_leaves, prop_leaves)
+  if cfg.priority_exponent == 0.0:
+    # Uniform fast path: proportional-to-1 sampling IS uniform-over-active,
+    # so the mixture collapses to one indicator-tree query.
+    leaves = ft.fanout_query(
+        state.indicator_tree,
+        jax.random.uniform(u_key, (batch_size,)) * n_active)
+  else:
+    prop_targets = jax.random.uniform(p_key, (batch_size,)) * total_p
+    unif_targets = jax.random.uniform(u_key, (batch_size,)) * n_active
+    prop_leaves = ft.fanout_query(state.value_tree, prop_targets)
+    unif_leaves = ft.fanout_query(state.indicator_tree, unif_targets)
+    use_uniform = (jax.random.uniform(mix_key, (batch_size,))
+                   < cfg.uniform_sample_probability)
+    leaves = jnp.where(use_uniform, unif_leaves, prop_leaves)
 
   stream = leaves // c
   slot = jnp.mod(leaves, c)

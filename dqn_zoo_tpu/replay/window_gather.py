@@ -123,8 +123,8 @@ def gather_windows_pallas(frames: jax.Array, stream: jax.Array,
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=2,
           grid=(_PROGS,),
-          in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-          out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+          in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+          out_specs=pl.BlockSpec(memory_space=pl.ANY),
           scratch_shapes=[pltpu.SemaphoreType.DMA((_NSEM,))],
       ),
       out_shape=jax.ShapeDtypeStruct((padded_b, window, rh, rw), jnp.uint8),
