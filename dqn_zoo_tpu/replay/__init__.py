@@ -1,3 +1,8 @@
+# Host-compat replay surface (reference dqn_zoo/replay.py API):
+# `from dqn_zoo_tpu.replay import host` — Transition, TransitionReplay,
+# PrioritizedTransitionReplay, SumTree, UniformDistribution, accumulators,
+# importance_sampling_weights, compress_array/uncompress_array.
+from dqn_zoo_tpu.replay import host
 from dqn_zoo_tpu.replay.sum_tree import (
     SumTree,
     sum_tree_init,

@@ -54,11 +54,28 @@ _RESULTS_CSV_PATH = flags.DEFINE_string("results_csv_path",
                                         "/tmp/results.csv", "")
 _CHECKPOINT_PATH = flags.DEFINE_string("checkpoint_path", "",
                                        "Empty disables checkpointing.")
+_CHECKPOINT_REPLAY = flags.DEFINE_bool(
+    "checkpoint_replay", True,
+    "Include the replay buffer in checkpoints. True gives step-identical "
+    "restores (the determinism contract, ref README.md:201-210); False "
+    "skips the multi-GB frame store — restores re-fill replay under the "
+    "usual min-fill gate — for fast checkpoint-split runs on hosted "
+    "runtimes where fetching the full buffer is slow.")
+_CHECKPOINT_PERIOD = flags.DEFINE_integer(
+    "checkpoint_period", 1,
+    "Save every N iterations (always saves before an iterations_per_run "
+    "exit).")
 _REPLAY_RATIO_MODE = flags.DEFINE_enum(
     "replay_ratio_mode", "throughput", ["parity", "throughput"],
     "parity: batch 32 × many updates (exact reference schedule); "
     "throughput: one big batch per superstep with the same sample ratio "
     "and sqrt(batch/32) learning-rate scaling.")
+_ITERATIONS_PER_RUN = flags.DEFINE_integer(
+    "iterations_per_run", 0,
+    "Exit cleanly after this many iterations (0 = run to num_iterations). "
+    "Lets long trainings split across processes via --checkpoint_path while "
+    "schedule horizons (set by num_iterations) stay fixed — needed where a "
+    "runtime bounds single-process device time.")
 _EVAL_NUM_ENVS = flags.DEFINE_integer(
     "eval_num_envs", 32,
     "Eval env streams: fewer than training so whole episodes complete "
@@ -128,9 +145,17 @@ def main(argv):
   state = engine.init(init_key)
   iteration = 0
 
+  def strip(s):
+    # None is an empty pytree subtree: orbax skips it on save and restore,
+    # and the restored state keeps the freshly initialized replay.
+    return s if _CHECKPOINT_REPLAY.value else s._replace(replay=None)
+
   if checkpoint.can_be_restored():
     logging.info("Restoring checkpoint.")
-    state, iteration, writer_state = checkpoint.restore(state)
+    restored, iteration, writer_state = checkpoint.restore(strip(state))
+    if not _CHECKPOINT_REPLAY.value:
+      restored = restored._replace(replay=state.replay)
+    state = restored
     writer.set_state(writer_state)
 
   b = engine.config.num_envs
@@ -143,7 +168,13 @@ def main(argv):
   train_chunk = jax.jit(functools.partial(engine.run, num_supersteps=100))
   eval_chunk = jax.jit(functools.partial(engine.eval_run, num_supersteps=100))
 
+  run_iterations = 0
   while iteration <= _NUM_ITERATIONS.value:
+    if _ITERATIONS_PER_RUN.value and run_iterations >= \
+        _ITERATIONS_PER_RUN.value:
+      logging.info("iterations_per_run reached; exiting for resume.")
+      break
+    run_iterations += 1
     # --- train phase (iteration 0 is eval-only, ref run_atari.py:254-255)
     logging.info("Training iteration %d.", iteration)
     state = engine.reset_telemetry(state)
@@ -205,7 +236,11 @@ def main(argv):
     logging.info(", ".join(("%s: " + f) % (n_, v) for n_, v, f in log_output))
     writer.write(collections.OrderedDict((n_, v) for n_, v, _ in log_output))
     iteration += 1
-    checkpoint.save(state, iteration, writer.get_state())
+    exiting = (_ITERATIONS_PER_RUN.value
+               and run_iterations >= _ITERATIONS_PER_RUN.value) \
+        or iteration > _NUM_ITERATIONS.value
+    if exiting or iteration % _CHECKPOINT_PERIOD.value == 0:
+      checkpoint.save(strip(state), iteration, writer.get_state())
 
   writer.close()
 

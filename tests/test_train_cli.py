@@ -68,3 +68,41 @@ def test_cli_end_to_end(tmp_path, agent):
       "train_frame_rate", "train_exploration_epsilon", "train_state_value",
       "normalized_return", "capped_normalized_return", "human_gap"]
   assert float(rows[1]["train_episode_return"]) <= 1.0
+
+
+def test_cli_checkpoint_split_resume(tmp_path):
+  """Two short processes with --iterations_per_run resume into one run
+  (the lease-safe checkpoint-split workflow; replay excluded from the
+  checkpoint via --checkpoint_replay=false)."""
+  csv_path = str(tmp_path / "results.csv")
+  ckpt_path = str(tmp_path / "ckpt")
+  env = dict(os.environ)
+  env["JAX_PLATFORMS"] = "cpu"
+  env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+  env["PALLAS_AXON_POOL_IPS"] = ""
+  env["PYTHONPATH"] = os.pathsep.join(
+      [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+      + env.get("PYTHONPATH", "").split(os.pathsep))
+  code = (
+      "import jax; jax.config.update('jax_platforms','cpu');"
+      "from absl import app; from dqn_zoo_tpu.run import train;"
+      "import sys; app.run(train.main)")
+  args = [
+      sys.executable, "-c", code,
+      "--agent=dqn", "--environment_name=catch", "--num_envs=4",
+      "--replay_capacity=256", "--num_iterations=2",
+      "--num_train_frames=400", "--num_eval_frames=200",
+      "--max_frames_per_episode=1000", "--batch_size=8",
+      "--eval_num_envs=4", f"--results_csv_path={csv_path}",
+      f"--checkpoint_path={ckpt_path}", "--iterations_per_run=1",
+      "--checkpoint_replay=false", "--checkpoint_period=1"]
+  for run in range(3):  # iterations 0, 1, 2 — one per process
+    proc = subprocess.run(args, capture_output=True, text=True, env=env,
+                          timeout=540)
+    assert proc.returncode == 0, f"run {run}: {proc.stderr[-3000:]}"
+  with open(csv_path) as f:
+    rows = list(csv.DictReader(f))
+  assert [r["iteration"] for r in rows] == ["0", "1", "2"]
+  # frames advance across processes: env_frames persisted in the checkpoint
+  assert float(rows[2]["train_exploration_epsilon"]) <= float(
+      rows[1]["train_exploration_epsilon"])
