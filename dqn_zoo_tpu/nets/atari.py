@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dqn_zoo_tpu.nets import core, iqn_head
+from dqn_zoo_tpu.nets import core, iqn_head, torso_pallas
 from dqn_zoo_tpu.nets.core import Module
 
 
@@ -55,14 +55,22 @@ def _scale_u8() -> Module:
   return Module(init, apply)
 
 
-def dqn_torso(*, compute_dtype=jnp.float32) -> Module:
+def dqn_torso(*, compute_dtype=jnp.float32,
+              fused: bool | None = None) -> Module:
   """uint8→[0,1], conv 32×8×8/4 → 64×4×4/2 → 64×3×3/1, ReLU each, flatten.
 
   Ref networks.py:181-204. VALID padding: 84→20→9→7, so the flat embedding is
   7*7*64 = 3136.
+
+  On TPU with f32 compute and uint8 batches divisible by 32 (or with
+  fused=True), the apply runs as the lane-packed Pallas kernel in
+  nets/torso_pallas.py — the same math at N=128 per matmul instead of the
+  32/64-channel padded convs; identical params, differential-tested
+  (tests/test_torso_pallas.py). Other shapes/dtypes use the XLA
+  space-to-depth convs (nets/core.py conv2d).
   """
   c = lambda n, k, s: core.conv2d(n, k, s, compute_dtype=compute_dtype)
-  return core.sequential([
+  xla = core.sequential([
       ("scale", _scale_u8()),
       ("conv1", c(32, 8, 4)),
       ("relu1", core.relu()),
@@ -72,6 +80,21 @@ def dqn_torso(*, compute_dtype=jnp.float32) -> Module:
       ("relu3", core.relu()),
       ("flatten", core.flatten()),
   ])
+
+  def apply(params, rng, x):
+    use_fused = fused
+    if use_fused is None:
+      use_fused = (jax.default_backend() == "tpu"
+                   and compute_dtype == jnp.float32
+                   and torso_pallas.fused_ok(x))
+    if use_fused:
+      return torso_pallas.dqn_torso_fused(
+          params["conv1"]["w"], params["conv1"]["b"],
+          params["conv2"]["w"], params["conv2"]["b"],
+          params["conv3"]["w"], params["conv3"]["b"], x)
+    return xla.apply(params, rng, x)
+
+  return Module(xla.init, apply)
 
 
 def dqn_value_head(num_outputs: int, *, shared_bias: bool = False,

@@ -54,12 +54,37 @@ def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
   return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def space_to_depth(x: jax.Array, b: int) -> jax.Array:
+  """(B,H,W,C) -> (B,H/b,W/b,b*b*C); packed channel index = (dy, dx, c)."""
+  bs, h, w, c = x.shape
+  x = x.reshape(bs, h // b, b, w // b, b, c)
+  return x.transpose(0, 1, 3, 2, 4, 5).reshape(bs, h // b, w // b, b * b * c)
+
+
+def weight_to_depth(w: jax.Array, b: int) -> jax.Array:
+  """(kh,kw,C,N) -> (kh/b,kw/b,b*b*C,N) matching space_to_depth packing."""
+  kh, kw, c, n = w.shape
+  w = w.reshape(kh // b, b, kw // b, b, c, n)
+  return w.transpose(0, 2, 1, 3, 4, 5).reshape(kh // b, kw // b, b * b * c, n)
+
+
 def conv2d(num_features: int,
            kernel_shape: Union[int, Tuple[int, int]],
            stride: Union[int, Tuple[int, int]],
            *,
            compute_dtype=jnp.float32) -> Module:
-  """VALID-padded NHWC conv with legacy init on weights and biases."""
+  """VALID-padded NHWC conv with legacy init on weights and biases.
+
+  Strided convs whose kernel and input are stride-divisible run in
+  space-to-depth form: an s×s-strided k×k conv over C channels equals a
+  stride-1 (k/s)×(k/s) conv over s²·C packed channels (same dot products,
+  reassociated). On TPU this removes the input-dilation waste in the
+  data-gradient of strided convs — measured 1.17 ms off the DQN-torso
+  fwd+bwd at batch 2048 (20%), with identical fwd cost (tools/profile_conv2).
+  Params keep the reference (kh,kw,C,N) layout (ref networks.py:82-103);
+  the packing is a reshape/transpose inside apply, transparent to autodiff
+  and checkpoints.
+  """
   kh, kw = _pair(kernel_shape)
   strides = _pair(stride)
 
@@ -76,13 +101,20 @@ def conv2d(num_features: int,
 
   def apply(params, rng, x):
     del rng
+    s = strides[0]
+    xc = x.astype(compute_dtype)
+    wc = params["w"].astype(compute_dtype)
+    if (s > 1 and strides[1] == s and kh % s == 0 and kw % s == 0
+        and x.shape[1] % s == 0 and x.shape[2] % s == 0):
+      xc, wc, window = space_to_depth(xc, s), weight_to_depth(wc, s), (1, 1)
+    else:
+      window = strides
     # Output dtype follows compute_dtype (MXU still accumulates in f32);
     # requesting preferred_element_type=f32 on a bf16 conv would break the
     # transpose rule (cotangent f32 vs bf16 operand) in jax's conv grad.
     y = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype),
-        params["w"].astype(compute_dtype),
-        window_strides=strides,
+        xc, wc,
+        window_strides=window,
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ).astype(jnp.float32)

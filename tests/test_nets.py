@@ -168,3 +168,49 @@ def test_bfloat16_rainbow_grads_flow():
   grads = jax.grad(loss)(params)
   for g in jax.tree_util.tree_leaves(grads):
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_space_to_depth_conv_matches_direct():
+  """s2d rewrite of strided convs is the same math as the direct conv.
+
+  conv2d lowers stride-divisible convs to stride-1 convs over packed
+  channels (core.space_to_depth); this pins the equivalence against
+  lax.conv on the exact DQN-torso shapes, values AND gradients.
+  """
+  key = jax.random.PRNGKey(7)
+  for (hw, c, n, k, s) in [((84, 84), 4, 32, 8, 4), ((20, 20), 32, 64, 4, 2)]:
+    kx, kw, kb, key = jax.random.split(key, 4)
+    x = jax.random.normal(kx, (3, *hw, c), jnp.float32)
+    w = jax.random.normal(kw, (k, k, c, n), jnp.float32) * 0.1
+    b = jax.random.normal(kb, (n,), jnp.float32)
+    direct = jax.lax.conv_general_dilated(
+        x, w, window_strides=(s, s), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    mod = core.conv2d(n, k, s)
+    y = mod.apply({"w": w, "b": b}, None, x)
+    np.testing.assert_allclose(y, direct, rtol=2e-5, atol=2e-5)
+
+    # Gradients flow through the packing transparently and match the
+    # direct conv's gradients.
+    def loss(params, conv_fn):
+      return jnp.sum(jnp.tanh(conv_fn(params)))
+
+    g_s2d = jax.grad(lambda p: loss(p, lambda p: mod.apply(p, None, x)))(
+        {"w": w, "b": b})
+    g_dir = jax.grad(lambda p: loss(p, lambda p: jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(s, s), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b"]))(
+        {"w": w, "b": b})
+    np.testing.assert_allclose(g_s2d["w"], g_dir["w"], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(g_s2d["b"], g_dir["b"], rtol=2e-4, atol=2e-4)
+
+
+def test_space_to_depth_skips_nondivisible_shapes():
+  """Odd input sizes fall back to the direct strided conv."""
+  key = jax.random.PRNGKey(3)
+  x = jax.random.normal(key, (2, 11, 11, 3), jnp.float32)
+  mod = core.conv2d(5, 4, 2)
+  params, _ = mod.init(key, jax.ShapeDtypeStruct(x.shape, x.dtype))
+  y = mod.apply(params, None, x)
+  assert y.shape == (2, 4, 4, 5)

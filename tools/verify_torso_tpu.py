@@ -1,0 +1,96 @@
+"""Real-TPU check of the fused Pallas torso: correctness vs XLA + speed.
+
+Run: nohup python tools/verify_torso_tpu.py > /tmp/verify_torso.log 2>&1 &
+"""
+
+import functools
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqn_zoo_tpu.nets import torso_pallas
+
+
+def force_tree(state):
+  s = jax.tree_util.tree_reduce(
+      lambda a, b: a + jnp.sum(jnp.abs(b.astype(jnp.float32))),
+      state, jnp.zeros(()))
+  return float(np.asarray(s))
+
+
+def timed(fn, state, chunks=8, inner=48):
+  run = jax.jit(lambda s: functools.reduce(lambda a, _: fn(a), range(inner), s))
+  state = run(state)
+  state = run(state)
+  force_tree(state)
+  times = []
+  for _ in range(chunks):
+    t0 = time.time()
+    state = run(state)
+    force_tree(state)
+    times.append(time.time() - t0)
+  return statistics.median(times) / inner * 1e3
+
+
+def main():
+  print("devices:", jax.devices(), flush=True)
+  key = jax.random.PRNGKey(0)
+  k1, k2, k3, kb, kx = jax.random.split(key, 5)
+  p = (
+      jax.random.normal(k1, (8, 8, 4, 32), jnp.float32) * 0.05,
+      jax.random.normal(kb, (32,), jnp.float32) * 0.05,
+      jax.random.normal(k2, (4, 4, 32, 64), jnp.float32) * 0.05,
+      jax.random.normal(kb, (64,), jnp.float32) * 0.05,
+      jax.random.normal(k3, (3, 3, 64, 64), jnp.float32) * 0.05,
+      jax.random.normal(kb, (64,), jnp.float32) * 0.05,
+  )
+  x = jax.random.randint(kx, (2048, 84, 84, 4), 0, 256, jnp.uint8)
+
+  # -- correctness on device -------------------------------------------------
+  want = jax.jit(torso_pallas.torso_xla_reference)(*p, x[:256])
+  got = jax.jit(lambda *a: torso_pallas.dqn_torso_fused(*a))(*p, x[:256])
+  err = float(np.max(np.abs(np.asarray(got) - np.asarray(want))))
+  print(f"fwd max abs err (B=256): {err:.2e}", flush=True)
+  assert err < 1e-3, err
+
+  gf = jax.jit(jax.grad(
+      lambda p: jnp.sum(jnp.tanh(torso_pallas.dqn_torso_fused(*p, x[:256])))))(p)
+  go = jax.jit(jax.grad(
+      lambda p: jnp.sum(jnp.tanh(torso_pallas.torso_xla_reference(*p, x[:256])))))(p)
+  gerr = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(gf, go))
+  print(f"grad max abs err (B=256): {gerr:.2e}", flush=True)
+  assert gerr < 1e-2, gerr
+
+  # -- speed at the learn batch ----------------------------------------------
+  def fwd_fused(pc):
+    y = torso_pallas.dqn_torso_fused(*pc, x)
+    return tuple(w * 0.9999 + 1e-7 * jnp.mean(y) for w in pc)
+
+  def fwd_xla(pc):
+    y = torso_pallas.torso_xla_reference(*pc, x)
+    return tuple(w * 0.9999 + 1e-7 * jnp.mean(y) for w in pc)
+
+  def grad_fused(pc):
+    g = jax.grad(lambda pc: jnp.sum(
+        jnp.tanh(torso_pallas.dqn_torso_fused(*pc, x))))(pc)
+    return tuple(w - 1e-9 * d for w, d in zip(pc, g))
+
+  def grad_xla(pc):
+    g = jax.grad(lambda pc: jnp.sum(
+        jnp.tanh(torso_pallas.torso_xla_reference(*pc, x))))(pc)
+    return tuple(w - 1e-9 * d for w, d in zip(pc, g))
+
+  for name, fn, inner in [("fused fwd", fwd_fused, 32),
+                          ("xla   fwd", fwd_xla, 32),
+                          ("fused fwd+bwd", grad_fused, 16),
+                          ("xla   fwd+bwd", grad_xla, 16)]:
+    ms = timed(fn, p, chunks=8, inner=inner)
+    print(f"{name}: {ms:.3f} ms (B=2048)", flush=True)
+
+
+if __name__ == "__main__":
+  main()
