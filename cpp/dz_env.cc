@@ -500,12 +500,181 @@ class Freeway : public Game {
   int frame_;
 };
 
+// ------------------------------------------------------------ seaquest ----
+class Seaquest : public Game {
+ public:
+  int num_actions() const override { return 18; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    px_ = 72.0f;
+    py_ = 46.0f;
+    facing_ = 1.0f;
+    torp_live_ = false;
+    for (int i = 0; i < 4; ++i) {
+      enemy_x_[i] = rng.uniform(8.0f, 140.0f);
+      enemy_live_[i] = true;
+      enemy_respawn_[i] = 0;
+      diver_live_[i] = rng.uniform(0.0f, 1.0f) < 0.25f;
+      diver_x_[i] = 0.0f;
+    }
+    divers_ = 0;
+    oxygen_ = 360.0f;
+    was_surfaced_ = true;
+    lives_ = 4;
+    level_ = 0;
+    invuln_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    // Full 18-action set: same movement tables as the JAX step
+    // (games/seaquest.py:_DX/_DY).
+    static const int kDx[18] = {0, 0, 0, 1, -1, 0, 1, -1, 1,
+                                -1, 0, 1, -1, 0, 1, -1, 1, -1};
+    static const int kDy[18] = {0, 0, -1, 0, 0, 1, -1, -1, 1,
+                                1, -1, 0, 0, 1, -1, -1, 1, 1};
+    bool fire = action == 1 || action >= 10;
+    px_ = std::clamp(px_ + 2.0f * kDx[action], 8.0f, 152.0f - 16.0f);
+    py_ = std::clamp(py_ + 2.0f * kDy[action], 46.0f, 180.0f);
+    if (kDx[action] != 0) facing_ = kDx[action] > 0 ? 1.0f : -1.0f;
+    bool surfaced = py_ <= 50.0f;
+    float reward = 0.0f;
+
+    static const float kLaneY[4] = {80.0f, 110.0f, 140.0f, 170.0f};
+    static const float kLaneDir[4] = {1.0f, -1.0f, 1.0f, -1.0f};
+    float speed = 1.0f + 0.3f * level_;
+    for (int i = 0; i < 4; ++i) {
+      if (enemy_live_[i]) {
+        enemy_x_[i] += kLaneDir[i] * speed;
+        if (enemy_x_[i] < -12.0f || enemy_x_[i] > 160.0f)
+          enemy_x_[i] = kLaneDir[i] > 0 ? -12.0f : 160.0f;
+      } else if (--enemy_respawn_[i] <= 0) {
+        enemy_respawn_[i] = 0;
+        enemy_live_[i] = true;
+        enemy_x_[i] = kLaneDir[i] > 0 ? -12.0f : 160.0f;
+      }
+      // Divers drift opposite, slower; idle lanes respawn stochastically.
+      // Draw order matches the JAX step: one uniform per lane per frame.
+      float u = rng.uniform(0.0f, 1.0f);
+      if (diver_live_[i]) {
+        diver_x_[i] -= kLaneDir[i] * 0.5f;
+        if (diver_x_[i] < -8.0f || diver_x_[i] > 160.0f)
+          diver_live_[i] = false;
+      } else if (u < 0.008f) {
+        diver_live_[i] = true;
+        diver_x_[i] = kLaneDir[i] > 0 ? 160.0f : -8.0f;
+      }
+    }
+
+    if (fire && !torp_live_ && !surfaced) {
+      torp_live_ = true;
+      torp_x_ = px_ + (facing_ > 0 ? 16.0f : -6.0f);
+      torp_y_ = py_ + 4.0f;
+      torp_dir_ = facing_;
+    }
+    if (torp_live_) {
+      torp_x_ += torp_dir_ * 4.0f;
+      if (torp_x_ < -6.0f || torp_x_ > 160.0f) torp_live_ = false;
+    }
+    for (int i = 0; i < 4 && torp_live_; ++i) {
+      bool band = torp_y_ + 2.0f >= kLaneY[i] && torp_y_ <= kLaneY[i] + 7.0f;
+      bool over = torp_x_ + 6.0f >= enemy_x_[i] &&
+                  torp_x_ <= enemy_x_[i] + 12.0f;
+      if (enemy_live_[i] && band && over) {
+        enemy_live_[i] = false;
+        enemy_respawn_[i] = 40;
+        torp_live_ = false;
+        reward += 20.0f;
+      }
+    }
+
+    for (int i = 0; i < 4; ++i) {
+      bool band = py_ + 8.0f >= kLaneY[i] && py_ <= kLaneY[i] + 7.0f;
+      bool over = px_ + 16.0f >= diver_x_[i] && px_ <= diver_x_[i] + 8.0f;
+      if (diver_live_[i] && band && over && divers_ < 6) {
+        diver_live_[i] = false;
+        ++divers_;
+      }
+    }
+
+    bool vulnerable = invuln_ <= 0;
+    bool collided = false;
+    for (int i = 0; i < 4; ++i) {
+      bool band = py_ + 8.0f >= kLaneY[i] && py_ <= kLaneY[i] + 7.0f;
+      bool over = px_ + 16.0f >= enemy_x_[i] && px_ <= enemy_x_[i] + 12.0f;
+      collided |= enemy_live_[i] && band && over;
+    }
+    collided = collided && vulnerable && !surfaced;
+
+    oxygen_ = surfaced ? std::min(oxygen_ + 8.0f, 360.0f) : oxygen_ - 1.0f;
+    bool suffocated = oxygen_ <= 0.0f;
+
+    bool just_surfaced = surfaced && !was_surfaced_;
+    bool cash_in = just_surfaced && divers_ == 6;
+    bool drop_one = just_surfaced && divers_ > 0 && !cash_in;
+    bool bad_surface = just_surfaced && divers_ == 0 && vulnerable;
+    if (cash_in) {
+      reward += 50.0f * 6;
+      divers_ = 0;
+      ++level_;
+    } else if (drop_one) {
+      --divers_;
+    }
+
+    bool lost = collided || suffocated || bad_surface;
+    if (lost) {
+      --lives_;
+      px_ = 72.0f;
+      py_ = 46.0f;
+      oxygen_ = 360.0f;
+      surfaced = true;
+      invuln_ = 30;
+      torp_live_ = false;
+    } else if (invuln_ > 0) {
+      --invuln_;
+    }
+    was_surfaced_ = surfaced;
+    *done = lives_ <= 0;
+    *life_lost = lost && !*done;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 46, 193, 0, 160, 40);   // water
+    draw_rect(o, 193, 210, 0, 160, 170);  // sea floor
+    draw_rect(o, 198, 203, 49, 49.0f + 60.0f * oxygen_ / 360.0f, 214);
+    static const float kLaneY[4] = {80.0f, 110.0f, 140.0f, 170.0f};
+    for (int i = 0; i < 4; ++i) {
+      if (enemy_live_[i])
+        draw_rect(o, kLaneY[i], kLaneY[i] + 7, enemy_x_[i],
+                  enemy_x_[i] + 12, 150);
+      if (diver_live_[i])
+        draw_rect(o, kLaneY[i], kLaneY[i] + 7, diver_x_[i], diver_x_[i] + 8,
+                  90);
+    }
+    for (int i = 0; i < divers_; ++i)
+      draw_rect(o, 198, 203, 120.0f + 6 * i, 124.0f + 6 * i, 60);
+    if (torp_live_)
+      draw_rect(o, torp_y_, torp_y_ + 2, torp_x_, torp_x_ + 6, 236);
+    draw_rect(o, py_, py_ + 8, px_, px_ + 16, 200);
+  }
+
+ private:
+  float px_, py_, facing_, torp_x_, torp_y_, torp_dir_, oxygen_;
+  float enemy_x_[4], diver_x_[4];
+  bool torp_live_, was_surfaced_, enemy_live_[4], diver_live_[4];
+  int enemy_respawn_[4], divers_, lives_, level_, invuln_;
+};
+
 std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "pong") return std::make_unique<Pong>();
   if (name == "breakout") return std::make_unique<Breakout>();
   if (name == "catch") return std::make_unique<Catch>();
   if (name == "space_invaders") return std::make_unique<SpaceInvaders>();
   if (name == "freeway") return std::make_unique<Freeway>();
+  if (name == "seaquest") return std::make_unique<Seaquest>();
   return nullptr;
 }
 

@@ -28,19 +28,26 @@ class LossOutput(NamedTuple):
   priorities: jax.Array  # (B,) raw new priorities (ones for uniform agents)
 
 
-# loss(network, online_params, target_params, batch, weights, key) -> LossOutput
+# loss(spec, network, online_params, target_params, batch, weights, key)
+#   -> LossOutput
 LossFn = Callable[..., LossOutput]
-# act(network, params, key, obs_u8, epsilon) -> (actions (B,), values (B,))
+# act(spec, network, params, key, obs_u8, epsilon) -> (actions (B,), values)
 ActFn = Callable[..., Tuple[jax.Array, jax.Array]]
 
 
 @dataclasses.dataclass(frozen=True)
 class AgentSpec:
+  """All loss/act/network builders receive the (possibly flag-overridden)
+  spec as their first argument, so every hyperparameter below — including
+  the per-agent loss/net shape parameters — round-trips through
+  dataclasses.replace and the run/train.py flag surface (parity with the
+  reference's ~25-30 per-runner flags, dqn/run_atari.py:49-95)."""
+
   name: str
-  make_network: Callable[..., Module]  # (num_actions, compute_dtype) -> Module
+  make_network: Callable[..., Module]  # (spec, num_actions) -> Module
   loss: LossFn
   act: ActFn
-  init_network: Optional[Callable[[Module, jax.Array, Any], Any]] = None
+  init_network: Optional[Callable[..., Any]] = None  # (spec, module, key, obs)
 
   # Replay (ref replay flavors; priority_exponent 0 → uniform replay).
   n_step: int = 1
@@ -68,6 +75,19 @@ class AgentSpec:
   target_network_update_period: int = int(4e4)
   learn_period: int = 16
   batch_size: int = 32
+
+  # Loss / network hyperparameters (per-agent meaning; reference flag
+  # defaults from the matching run_atari.py).
+  grad_error_bound: float = 1.0 / 32  # dqn-family TD-error clip
+  vmax: float = 10.0  # c51/rainbow support half-width
+  num_atoms: int = 51  # c51/rainbow
+  num_quantiles: int = 201  # qrdqn
+  huber_param: float = 1.0  # qrdqn/iqn
+  tau_latent_dim: int = 64  # iqn cosine-embedding dim
+  tau_samples_policy: int = 64  # iqn
+  tau_samples_s_tm1: int = 64  # iqn
+  tau_samples_s_t: int = 64  # iqn
+  noisy_weight_init: float = 0.1  # rainbow
 
 
 def make_optimizer(spec: AgentSpec):

@@ -14,17 +14,15 @@ from dqn_zoo_tpu import nets, ops
 from dqn_zoo_tpu.agents.base import AgentSpec, LossOutput, register_agent
 from dqn_zoo_tpu.agents.dqn import epsilon_greedy_act
 
-VMAX = 10.0
-NUM_ATOMS = 51
+def support(spec):
+  """linspace(−vmax, vmax, num_atoms) (ref c51/run_atari.py:134)."""
+  return jnp.linspace(-spec.vmax, spec.vmax, spec.num_atoms)
 
 
-def support():
-  return jnp.linspace(-VMAX, VMAX, NUM_ATOMS)
-
-
-def c51_loss(network, online_params, target_params, batch, weights, key):
+def c51_loss(spec, network, online_params, target_params, batch, weights,
+             key):
   _, online_key, target_key = jax.random.split(key, 3)
-  sup = support()
+  sup = support(spec)
   logits_q_tm1 = network.apply(online_params, online_key,
                                batch.s_tm1).q_logits
   logits_target_t = network.apply(target_params, target_key,
@@ -38,8 +36,8 @@ def c51_loss(network, online_params, target_params, batch, weights, key):
 
 SPEC = register_agent(AgentSpec(
     name="c51",
-    make_network=lambda n, dt=None: nets.c51_atari_network(
-        n, support(), compute_dtype=dt or "float32"),
+    make_network=lambda spec, n: nets.c51_atari_network(
+        n, support(spec), compute_dtype=spec.compute_dtype),
     loss=c51_loss,
     act=epsilon_greedy_act,
     exploration_epsilon_end=0.01,

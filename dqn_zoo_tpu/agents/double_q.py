@@ -11,8 +11,8 @@ from dqn_zoo_tpu.agents.dqn import epsilon_greedy_act, q_learning_loss
 
 SPEC = register_agent(AgentSpec(
     name="double_q",
-    make_network=lambda n, dt=None: nets.double_dqn_atari_network(
-        n, compute_dtype=dt or "float32"),
+    make_network=lambda spec, n: nets.double_dqn_atari_network(
+        n, compute_dtype=spec.compute_dtype),
     loss=q_learning_loss(double_q=True),
     act=epsilon_greedy_act,
     exploration_epsilon_end=0.01,

@@ -14,13 +14,10 @@ import jax.numpy as jnp
 from dqn_zoo_tpu import nets, ops
 from dqn_zoo_tpu.agents.base import AgentSpec, LossOutput, register_agent
 
-GRAD_ERROR_BOUND = 1.0 / 32
-
-
 def q_learning_loss(double_q: bool = False):
   """Shared by dqn (single-Q) / double_q & prioritized (double-Q)."""
 
-  def loss(network, online_params, target_params, batch, weights, key):
+  def loss(spec, network, online_params, target_params, batch, weights, key):
     _, online_key, target_key, sel_key = jax.random.split(key, 4)
     q_tm1 = network.apply(online_params, online_key, batch.s_tm1).q_values
     q_target_t = network.apply(target_params, target_key, batch.s_t).q_values
@@ -31,8 +28,8 @@ def q_learning_loss(double_q: bool = False):
     else:
       td_errors = ops.batch_q_learning(
           q_tm1, batch.a_tm1, batch.r_t, batch.discount_t, q_target_t)
-    clipped = ops.clip_gradient(td_errors, -GRAD_ERROR_BOUND,
-                                GRAD_ERROR_BOUND)
+    clipped = ops.clip_gradient(td_errors, -spec.grad_error_bound,
+                                spec.grad_error_bound)
     losses = ops.l2_loss(clipped)
     # `weights` are all-ones for uniform agents; ref prioritized/agent.py:112.
     return LossOutput(loss=jnp.mean(losses * weights),
@@ -41,7 +38,8 @@ def q_learning_loss(double_q: bool = False):
   return loss
 
 
-def epsilon_greedy_act(network, params, key, obs, epsilon):
+def epsilon_greedy_act(spec, network, params, key, obs, epsilon):
+  del spec
   apply_key, policy_key = jax.random.split(key)
   q = network.apply(params, apply_key, obs).q_values
   actions = ops.epsilon_greedy_sample(policy_key, q, epsilon)
@@ -50,8 +48,8 @@ def epsilon_greedy_act(network, params, key, obs, epsilon):
 
 SPEC = register_agent(AgentSpec(
     name="dqn",
-    make_network=lambda n, dt=None: nets.dqn_atari_network(
-        n, compute_dtype=dt or "float32"),
+    make_network=lambda spec, n: nets.dqn_atari_network(
+        n, compute_dtype=spec.compute_dtype),
     loss=q_learning_loss(double_q=False),
     act=epsilon_greedy_act,
 ))

@@ -15,12 +15,10 @@ from dqn_zoo_tpu import nets, ops
 from dqn_zoo_tpu.agents.base import AgentSpec, LossOutput, register_agent
 from dqn_zoo_tpu.agents.c51 import support
 
-NOISY_WEIGHT_INIT = 0.1
-
-
-def rainbow_loss(network, online_params, target_params, batch, weights, key):
+def rainbow_loss(spec, network, online_params, target_params, batch, weights,
+                 key):
   _, k0, k1, k2 = jax.random.split(key, 4)
-  sup = support()
+  sup = support(spec)
   logits_q_tm1 = network.apply(online_params, k0, batch.s_tm1).q_logits
   q_t = network.apply(online_params, k1, batch.s_t).q_values
   logits_target_t = network.apply(target_params, k2, batch.s_t).q_logits
@@ -31,9 +29,10 @@ def rainbow_loss(network, online_params, target_params, batch, weights, key):
                     priorities=jnp.clip(jnp.abs(losses), 0.0, 100.0))
 
 
-def greedy_noisy_act(network, params, key, obs, epsilon):
+def greedy_noisy_act(spec, network, params, key, obs, epsilon):
   """Greedy wrt a fresh noisy-net sample; ε is still honored so the same
   actor serves eval (where rainbow uses ε = 0)."""
+  del spec
   apply_key, policy_key = jax.random.split(key)
   q = network.apply(params, apply_key, obs).q_values
   actions = ops.epsilon_greedy_sample(policy_key, q, epsilon)
@@ -42,8 +41,9 @@ def greedy_noisy_act(network, params, key, obs, epsilon):
 
 SPEC = register_agent(AgentSpec(
     name="rainbow",
-    make_network=lambda n, dt=None: nets.rainbow_atari_network(
-        n, support(), NOISY_WEIGHT_INIT, compute_dtype=dt or "float32"),
+    make_network=lambda spec, n: nets.rainbow_atari_network(
+        n, support(spec), spec.noisy_weight_init,
+        compute_dtype=spec.compute_dtype),
     loss=rainbow_loss,
     act=greedy_noisy_act,
     greedy_actor=True,  # train-time ε ≡ 0 (noisy-net exploration)

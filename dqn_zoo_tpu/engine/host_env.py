@@ -75,8 +75,9 @@ class HostEnvEngine:
 
     stack = prep.frame_stack_update(state.stack, obs84, is_first)
     eps = eng.exploration_epsilon(state.env_frames.astype(jnp.float32))
-    actions, values = self.spec.act(self.network, state.online_params,
-                                    act_key, stack.frames, eps)
+    actions, values = self.spec.act(self.spec, self.network,
+                                    state.online_params, act_key,
+                                    stack.frames, eps)
     # This step's observation + action + the rewards that LED TO it form the
     # row (same alignment as the fused engine's pending-row scheme, resolved
     # in a single call here because the env stepped on the host already).

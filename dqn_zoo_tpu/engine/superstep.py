@@ -154,8 +154,7 @@ class Engine:
     self.spec = config.agent
     self.game = get_game(config.game)
     self.env = VectorAtariEnv(self.game, config.num_envs, config.env_config)
-    self.network = self.spec.make_network(
-        self.game.num_actions, jnp.dtype(self.spec.compute_dtype))
+    self.network = self.spec.make_network(self.spec, self.game.num_actions)
     self.optimizer = make_optimizer(self.spec)
     self.rcfg = config.replay_config()
 
@@ -196,7 +195,8 @@ class Engine:
     key, env_key, net_key = jax.random.split(key, 3)
     sample_obs = jnp.zeros((1, 84, 84, 4), jnp.uint8)
     if self.spec.init_network is not None:
-      online = self.spec.init_network(self.network, net_key, sample_obs)
+      online = self.spec.init_network(self.spec, self.network, net_key,
+                                      sample_obs)
     else:
       online = self.network.init(net_key, sample_obs)
     zeros_b = jnp.zeros((b,), jnp.float32)
@@ -247,7 +247,8 @@ class Engine:
       weights = jnp.ones_like(weights)
 
     def loss_fn(p):
-      out = self.spec.loss(self.network, p, target, batch, weights, loss_key)
+      out = self.spec.loss(self.spec, self.network, p, target, batch,
+                           weights, loss_key)
       return out.loss, out.priorities
 
     (loss, priorities), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -271,8 +272,8 @@ class Engine:
     # 1. act on current stacks.
     eps = self.exploration_epsilon(state.env_frames.astype(jnp.float32))
     obs = state.stack.frames
-    actions, values = self.spec.act(self.network, state.online_params,
-                                    act_key, obs, eps)
+    actions, values = self.spec.act(self.spec, self.network,
+                                    state.online_params, act_key, obs, eps)
 
     # 2. insert the pending row, now that its action exists (unconditional:
     # the pre-first-step pending row is terminal ⇒ inert).
@@ -398,8 +399,11 @@ class Engine:
   def metrics(self, state: EngineState) -> Metrics:
     tel = state.telemetry
     mean_ret = tel.completed_return_sum / jnp.maximum(tel.completed_count, 1)
+    # No completed episode this phase → report the mean IN-PROGRESS return,
+    # the reference's EpisodeTracker convention (parts.py:186-196: "mean over
+    # complete episodes else current"). Never a stale previous-phase value.
     mean_ret = jnp.where(tel.completed_count > 0, mean_ret,
-                         tel.last_episode_return)
+                         jnp.mean(tel.episode_return))
     ewma = jnp.where(tel.ewma_trace > 0,
                      tel.state_value_ewma / jnp.maximum(tel.ewma_trace, 1e-12),
                      jnp.nan)
@@ -416,11 +420,21 @@ class Engine:
     )
 
   def reset_telemetry(self, state: EngineState) -> EngineState:
-    b = self.config.num_envs
+    """Per-phase tracker reset (ref parts.py:150-247 reset convention).
+
+    Clears completed-episode sums AND the last-completed/last-loss scalars so
+    a phase with zero completed episodes (or zero learn steps) can never
+    report the previous phase's values. In-progress per-stream returns are
+    kept — episodes legitimately span iterations here (the reference instead
+    rebuilds the env each iteration) — and metrics() falls back to their
+    mean, matching the reference's "else current" rule.
+    """
     tel = state.telemetry
     return state._replace(telemetry=tel._replace(
         completed_return_sum=jnp.zeros(()),
         completed_count=jnp.zeros(()),
+        last_episode_return=jnp.full((), jnp.nan),
+        last_loss=jnp.full((), jnp.nan),
     ))
 
   # --- evaluation -----------------------------------------------------------
@@ -445,7 +459,7 @@ class Engine:
     env = VectorAtariEnv(self.game, b, self.config.env_config)
     rng, act_key = jax.random.split(state.rng)
     eps = jnp.asarray(self.spec.eval_exploration_epsilon)
-    actions, _ = self.spec.act(self.network, params, act_key,
+    actions, _ = self.spec.act(self.spec, self.network, params, act_key,
                                state.stack.frames, eps)
     env_state, out = env.step(state.env, actions)
     obs84 = prep.pooled_frame_to_84(out.frame_penult, out.frame_last)

@@ -62,13 +62,21 @@ def dqn_torso(*, compute_dtype=jnp.float32,
   Ref networks.py:181-204. VALID padding: 84→20→9→7, so the flat embedding is
   7*7*64 = 3136.
 
-  On TPU with f32 compute and uint8 batches divisible by 32 (or with
-  fused=True), the apply runs as the lane-packed Pallas kernel in
+  With fused=True the apply runs as the lane-packed Pallas kernel in
   nets/torso_pallas.py — the same math at N=128 per matmul instead of the
   32/64-channel padded convs; identical params, differential-tested
-  (tests/test_torso_pallas.py). Other shapes/dtypes use the XLA
-  space-to-depth convs (nets/core.py conv2d).
+  (tests/test_torso_pallas.py). Default is the XLA space-to-depth convs
+  (nets/core.py conv2d): the kernel wins the isolated torso microbench but
+  LOSES the full train loop on v5e (A/B with tools/bisect_torso.py,
+  2026-08-20: XLA 14.7k vs fused 13.5k env-steps/s — XLA fuses the torso
+  into the surrounding learn graph better than the kernel's packing
+  amortizes), so it is opt-in.
   """
+  compute_dtype = jnp.dtype(compute_dtype)
+  if fused and compute_dtype != jnp.float32:
+    raise ValueError(
+        "fused=True computes in f32; it cannot honor compute_dtype="
+        f"{jnp.dtype(compute_dtype).name}. Use fused=False (or f32).")
   c = lambda n, k, s: core.conv2d(n, k, s, compute_dtype=compute_dtype)
   xla = core.sequential([
       ("scale", _scale_u8()),
@@ -82,12 +90,7 @@ def dqn_torso(*, compute_dtype=jnp.float32,
   ])
 
   def apply(params, rng, x):
-    use_fused = fused
-    if use_fused is None:
-      use_fused = (jax.default_backend() == "tpu"
-                   and compute_dtype == jnp.float32
-                   and torso_pallas.fused_ok(x))
-    if use_fused:
+    if fused:  # forced: invalid inputs fail loudly in _assert_fused_ok
       return torso_pallas.dqn_torso_fused(
           params["conv1"]["w"], params["conv1"]["b"],
           params["conv2"]["w"], params["conv2"]["b"],

@@ -15,8 +15,11 @@ every matmul has N = 128:
 
 The packed weights are block-sparse embeddings of the dense params (built
 per call in XLA — a few KB), so real/issued MACs ≈ 40-60% vs the 15-20%
-XLA achieves, and all three layers chain inside one kernel: the conv1/conv2
-activations never round-trip to HBM in the forward pass.
+XLA achieves, and all three layers chain inside one kernel. On the
+forward-only (acting/eval/target) path the conv1/conv2 activations live in
+VMEM scratch and are never written to HBM; under differentiation the VJP's
+fwd rule switches to a variant that materializes them as kernel outputs
+(~80KB/sample) for the backward pass.
 
 Layout: y-major, batch-in-sublanes, (x, channel)-packed lanes — tensors are
 (H, B, W·C), so window rows are dynamic indexes on an UNTILED dim and window
@@ -51,6 +54,16 @@ _TB = 32  # batch rows per grid step (uint8 sublane tile)
 def fused_ok(x) -> bool:
   return (x.ndim == 4 and x.shape[1:] == (84, 84, 4)
           and x.shape[0] % _TB == 0 and x.dtype == jnp.uint8)
+
+
+def _assert_fused_ok(x) -> None:
+  """Fail loudly on a forced fused path: the grid floors B/32 (trailing rows
+  would silently stay uninitialized) and the kernel casts via int32 (non-u8
+  inputs would silently truncate)."""
+  if not fused_ok(x):
+    raise ValueError(
+        "dqn_torso_fused requires uint8 input of shape (B, 84, 84, 4) with "
+        f"B % {_TB} == 0; got {x.dtype} {x.shape}.")
 
 
 # --- packed-weight construction (XLA, tiny) ---------------------------------
@@ -143,7 +156,15 @@ def _kernel(z_ref, wb1_ref, b1_ref, wb2_ref, b2_ref, wb3_ref, b3_ref,
   jax.lax.fori_loop(0, 7, conv3_row, 0, unroll=False)
 
 
-def _fwd_call(w1, b1, w2, b2, w3, b3, x, interpret):
+def _kernel_fwd_only(z_ref, wb1_ref, b1_ref, wb2_ref, b2_ref, wb3_ref,
+                     b3_ref, out_ref, z1_ref, z2_ref):
+  """Same math as _kernel, but z1/z2 are VMEM scratch (never hit HBM)."""
+  _kernel(z_ref, wb1_ref, b1_ref, wb2_ref, b2_ref, wb3_ref, b3_ref,
+          z1_ref, z2_ref, out_ref)
+
+
+def _fwd_call(w1, b1, w2, b2, w3, b3, x, interpret, with_residuals=True):
+  _assert_fused_ok(x)
   bsz = x.shape[0]
   z = _pack_x(x)
   args = (z, _wb1(w1), jnp.tile(b1, 4).reshape(1, 128),
@@ -153,28 +174,47 @@ def _fwd_call(w1, b1, w2, b2, w3, b3, x, interpret):
   full = lambda shape: pl.BlockSpec(
       shape, lambda ib: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
+  in_specs = [
+      pl.BlockSpec((21, _TB, 1344), lambda ib: (0, ib, 0),
+                   memory_space=pltpu.VMEM),
+      full((640, 128)), full((1, 128)),
+      full((768, 128)), full((1, 128)),
+      full((768, 128)), full((1, 128)),
+  ]
+  out_spec = pl.BlockSpec((7, _TB, 448), lambda ib: (0, ib, 0),
+                          memory_space=pltpu.VMEM)
+  out_sds = jax.ShapeDtypeStruct((7, bsz, 448), jnp.float32)
+
+  if not with_residuals:
+    out = pl.pallas_call(
+        _kernel_fwd_only,
+        grid=(bsz // _TB,),
+        in_specs=in_specs,
+        out_specs=[out_spec],
+        out_shape=[out_sds],
+        scratch_shapes=[
+            pltpu.VMEM((20, _TB, 704), jnp.float32),
+            pltpu.VMEM((9, _TB, 640), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)[0]
+    return out.transpose(1, 0, 2).reshape(bsz, 3136), None, None
+
   z1, z2, out = pl.pallas_call(
       _kernel,
       grid=(bsz // _TB,),
-      in_specs=[
-          pl.BlockSpec((21, _TB, 1344), lambda ib: (0, ib, 0),
-                       memory_space=pltpu.VMEM),
-          full((640, 128)), full((1, 128)),
-          full((768, 128)), full((1, 128)),
-          full((768, 128)), full((1, 128)),
-      ],
+      in_specs=in_specs,
       out_specs=[
           pl.BlockSpec((20, _TB, 704), lambda ib: (0, ib, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((9, _TB, 640), lambda ib: (0, ib, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((7, _TB, 448), lambda ib: (0, ib, 0),
-                       memory_space=pltpu.VMEM),
+          out_spec,
       ],
       out_shape=[
           jax.ShapeDtypeStruct((20, bsz, 704), jnp.float32),
           jax.ShapeDtypeStruct((9, bsz, 640), jnp.float32),
-          jax.ShapeDtypeStruct((7, bsz, 448), jnp.float32),
+          out_sds,
       ],
       interpret=interpret,
   )(*args)
@@ -232,8 +272,13 @@ def dqn_torso_fused(w1, b1, w2, b2, w3, b3, x, interpret=False):
 
   Same params and same math as the nets.core sequential torso
   (±f32 reassociation); B must be a multiple of 32 (see fused_ok).
+
+  Outside differentiation (acting/eval/target nets) this lowers to the
+  forward-only kernel — conv1/conv2 activations stay in VMEM scratch. Under
+  jax.grad the custom-VJP fwd rule materializes them for the backward pass.
   """
-  flat, _, _ = _fwd_call(w1, b1, w2, b2, w3, b3, x, interpret)
+  flat, _, _ = _fwd_call(w1, b1, w2, b2, w3, b3, x, interpret,
+                         with_residuals=False)
   return flat
 
 

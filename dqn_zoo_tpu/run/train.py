@@ -76,11 +76,119 @@ _ITERATIONS_PER_RUN = flags.DEFINE_integer(
     "Lets long trainings split across processes via --checkpoint_path while "
     "schedule horizons (set by num_iterations) stay fixed — needed where a "
     "runtime bounds single-process device time.")
+# --- agent hyperparameter overrides (reference flag surface,
+# dqn/run_atari.py:49-95 and the per-agent runners). Unset (None / <0)
+# keeps the agent's reference default from its AgentSpec. Values round-trip
+# into the spec via dataclasses.replace (tested in tests/test_train_cli.py).
+_LEARNING_RATE = flags.DEFINE_float("learning_rate", None, "")
+_OPTIMIZER_EPSILON = flags.DEFINE_float("optimizer_epsilon", None, "")
+_TARGET_NETWORK_UPDATE_PERIOD = flags.DEFINE_integer(
+    "target_network_update_period", 0, "In environment frames; 0 = default.")
+_EXPLORATION_EPSILON_BEGIN = flags.DEFINE_float(
+    "exploration_epsilon_begin_value", None, "")
+_EXPLORATION_EPSILON_END = flags.DEFINE_float(
+    "exploration_epsilon_end_value", None, "")
+_EXPLORATION_EPSILON_DECAY_FRAME_FRACTION = flags.DEFINE_float(
+    "exploration_epsilon_decay_frame_fraction", None, "")
+_EVAL_EXPLORATION_EPSILON = flags.DEFINE_float(
+    "eval_exploration_epsilon", None, "")
+_LEARN_PERIOD = flags.DEFINE_integer(
+    "learn_period", 0,
+    "Frames between learn steps in the reference schedule; with batch_size "
+    "it sets the sample/insert ratio the vectorized engine preserves.")
+_GRAD_ERROR_BOUND = flags.DEFINE_float(
+    "grad_error_bound", None, "DQN-family TD-error clip (±); e.g. 1/32.")
+_MAX_GLOBAL_GRAD_NORM = flags.DEFINE_float(
+    "max_global_grad_norm", None, "0 disables clipping.")
+_N_STEPS = flags.DEFINE_integer(
+    "n_steps", 0, "n-step return length (rainbow default 3).")
+_PRIORITY_EXPONENT = flags.DEFINE_float("priority_exponent", None, "")
+_IMPORTANCE_SAMPLING_EXPONENT_BEGIN = flags.DEFINE_float(
+    "importance_sampling_exponent_begin_value", None, "")
+_IMPORTANCE_SAMPLING_EXPONENT_END = flags.DEFINE_float(
+    "importance_sampling_exponent_end_value", None, "")
+_UNIFORM_SAMPLE_PROBABILITY = flags.DEFINE_float(
+    "uniform_sample_probability", None, "")
+_NORMALIZE_WEIGHTS = flags.DEFINE_boolean("normalize_weights", None, "")
+_COMPUTE_DTYPE = flags.DEFINE_string(
+    "compute_dtype", "", "float32 (default) or bfloat16.")
+_NUM_ACTION_REPEATS = flags.DEFINE_integer(
+    "num_action_repeats", 0, "Raw frames per agent step; 0 = 4.")
+_NUM_STACKED_FRAMES = flags.DEFINE_integer(
+    "num_stacked_frames", 0,
+    "Observation stack depth. Only 4 is supported (the Atari torso and the "
+    "replay frame-dedup store are built for 84x84x4); the flag exists so "
+    "reference command lines parse and misuse fails loudly.")
+# per-agent extras (c51/qrdqn/rainbow/iqn runner flags)
+_VMAX = flags.DEFINE_float("vmax", None, "c51/rainbow support half-width.")
+_NUM_ATOMS = flags.DEFINE_integer("num_atoms", 0, "c51/rainbow atoms.")
+_NUM_QUANTILES = flags.DEFINE_integer("num_quantiles", 0, "qrdqn quantiles.")
+_HUBER_PARAM = flags.DEFINE_float("huber_param", None, "qrdqn/iqn Huber κ.")
+_TAU_LATENT_DIM = flags.DEFINE_integer("tau_latent_dim", 0, "iqn.")
+_TAU_SAMPLES_POLICY = flags.DEFINE_integer("tau_samples_policy", 0, "iqn.")
+_TAU_SAMPLES_S_TM1 = flags.DEFINE_integer("tau_samples_s_tm1", 0, "iqn.")
+_TAU_SAMPLES_S_T = flags.DEFINE_integer("tau_samples_s_t", 0, "iqn.")
+_NOISY_WEIGHT_INIT = flags.DEFINE_float("noisy_weight_init", None, "rainbow.")
+
 _EVAL_NUM_ENVS = flags.DEFINE_integer(
-    "eval_num_envs", 32,
+    "eval_num_envs", 0,
     "Eval env streams: fewer than training so whole episodes complete "
     "within the eval frame budget (the reference runs ONE stream for 5e5 "
-    "frames; B streams each get budget/B frames).")
+    "frames; B streams each get budget/B frames). 0 = auto-size so each "
+    "stream's budget covers one max-length episode "
+    "(num_eval_frames // max_frames_per_episode), guaranteeing every "
+    "iteration logs a non-NaN eval return like the reference protocol "
+    "(dqn/run_atari.py:260-264).")
+
+
+def _spec_overrides_from_flags() -> dict:
+  """Collect the reference flag surface (dqn/run_atari.py:49-95 + per-agent
+  runner flags) into AgentSpec field overrides. Unset flags (None, or 0/-1
+  for integer flags whose real values are positive) are omitted, so agent
+  defaults survive."""
+  if _NUM_ACTION_REPEATS.value not in (0, 4):
+    raise ValueError("num_action_repeats: only 4 is supported (the engine's "
+                     "superstep and preprocessing are built around action "
+                     f"repeat 4); got {_NUM_ACTION_REPEATS.value}.")
+  if _NUM_STACKED_FRAMES.value not in (0, 4):
+    raise ValueError("num_stacked_frames: only 4 is supported (84x84x4 torso "
+                     f"and frame-dedup replay); got {_NUM_STACKED_FRAMES.value}.")
+  floats = {
+      "learning_rate": _LEARNING_RATE,
+      "optimizer_epsilon": _OPTIMIZER_EPSILON,
+      "exploration_epsilon_begin": _EXPLORATION_EPSILON_BEGIN,
+      "exploration_epsilon_end": _EXPLORATION_EPSILON_END,
+      "exploration_epsilon_decay_frame_fraction":
+          _EXPLORATION_EPSILON_DECAY_FRAME_FRACTION,
+      "eval_exploration_epsilon": _EVAL_EXPLORATION_EPSILON,
+      "grad_error_bound": _GRAD_ERROR_BOUND,
+      "max_global_grad_norm": _MAX_GLOBAL_GRAD_NORM,
+      "priority_exponent": _PRIORITY_EXPONENT,
+      "importance_sampling_begin": _IMPORTANCE_SAMPLING_EXPONENT_BEGIN,
+      "importance_sampling_end": _IMPORTANCE_SAMPLING_EXPONENT_END,
+      "uniform_sample_probability": _UNIFORM_SAMPLE_PROBABILITY,
+      "vmax": _VMAX,
+      "huber_param": _HUBER_PARAM,
+      "noisy_weight_init": _NOISY_WEIGHT_INIT,
+  }
+  ints = {
+      "target_network_update_period": _TARGET_NETWORK_UPDATE_PERIOD,
+      "learn_period": _LEARN_PERIOD,
+      "n_step": _N_STEPS,
+      "num_atoms": _NUM_ATOMS,
+      "num_quantiles": _NUM_QUANTILES,
+      "tau_latent_dim": _TAU_LATENT_DIM,
+      "tau_samples_policy": _TAU_SAMPLES_POLICY,
+      "tau_samples_s_tm1": _TAU_SAMPLES_S_TM1,
+      "tau_samples_s_t": _TAU_SAMPLES_S_T,
+  }
+  overrides = {k: f.value for k, f in floats.items() if f.value is not None}
+  overrides.update({k: f.value for k, f in ints.items() if f.value > 0})
+  if _NORMALIZE_WEIGHTS.value is not None:
+    overrides["normalize_weights"] = _NORMALIZE_WEIGHTS.value
+  if _COMPUTE_DTYPE.value:
+    overrides["compute_dtype"] = _COMPUTE_DTYPE.value
+  return overrides
 
 
 def build_engine(agent_name: str, game: str, num_envs: int,
@@ -89,18 +197,22 @@ def build_engine(agent_name: str, game: str, num_envs: int,
                  max_frames_per_episode: int = 108000,
                  num_iterations: int = 200,
                  num_train_frames: int = int(1e6),
-                 min_replay_capacity_fraction: float = -1.0) -> Engine:
+                 min_replay_capacity_fraction: float = -1.0,
+                 spec_overrides: dict | None = None) -> Engine:
   """Engine factory shared by the CLI, tests and bench."""
   import dataclasses
   spec = get_agent(agent_name)
+  if spec_overrides:
+    spec = dataclasses.replace(spec, **spec_overrides)
   if min_replay_capacity_fraction >= 0:
     spec = dataclasses.replace(
         spec, min_replay_capacity_fraction=min_replay_capacity_fraction)
   b = num_envs
-  # Reference ratio: batch 32 per 16 frames = 2 samples per env frame
-  # (dqn/run_atari.py learn_period/batch defaults). One superstep ≈ 4·B
-  # frames → 8·B samples per superstep.
-  samples_per_superstep = 8 * b
+  # Reference ratio: batch_size samples per learn_period frames (defaults
+  # 32/16 = 2 samples per env frame, dqn/run_atari.py). One superstep = 4·B
+  # frames → 4·B·(batch/learn_period) samples per superstep.
+  samples_per_superstep = max(1, round(4 * b * spec.batch_size
+                                       / spec.learn_period))
   if batch_size <= 0:
     if replay_ratio_mode == "parity":
       batch_size = spec.batch_size
@@ -134,7 +246,8 @@ def main(argv):
       _AGENT.value, _ENVIRONMENT_NAME.value, _NUM_ENVS.value,
       _REPLAY_CAPACITY.value, _BATCH_SIZE.value, _REPLAY_RATIO_MODE.value,
       _MAX_FRAMES_PER_EPISODE.value, _NUM_ITERATIONS.value,
-      _NUM_TRAIN_FRAMES.value, _MIN_REPLAY_CAPACITY_FRACTION.value)
+      _NUM_TRAIN_FRAMES.value, _MIN_REPLAY_CAPACITY_FRACTION.value,
+      spec_overrides=_spec_overrides_from_flags())
   writer = CsvWriter(_RESULTS_CSV_PATH.value) if _RESULTS_CSV_PATH.value \
       else NullWriter()
   checkpoint = (OrbaxCheckpoint(_CHECKPOINT_PATH.value)
@@ -161,12 +274,29 @@ def main(argv):
   b = engine.config.num_envs
   frames_per_superstep = 4 * b
   train_supersteps = max(1, _NUM_TRAIN_FRAMES.value // frames_per_superstep)
-  eval_envs = min(_EVAL_NUM_ENVS.value, b)
+  eval_envs = _EVAL_NUM_ENVS.value
+  if eval_envs <= 0:
+    eval_envs = max(
+        1, _NUM_EVAL_FRAMES.value // max(1, _MAX_FRAMES_PER_EPISODE.value))
+  eval_envs = min(eval_envs, b)
   eval_supersteps = max(1, _NUM_EVAL_FRAMES.value // (4 * eval_envs))
 
   import functools
-  train_chunk = jax.jit(functools.partial(engine.run, num_supersteps=100))
-  eval_chunk = jax.jit(functools.partial(engine.eval_run, num_supersteps=100))
+  # jit-per-chunk-length caches: the tail chunk (iteration length not a
+  # multiple of 100) compiles once, not once per iteration.
+  _train_chunks, _eval_chunks = {}, {}
+
+  def train_chunk(k, state):
+    if k not in _train_chunks:
+      _train_chunks[k] = jax.jit(
+          functools.partial(engine.run, num_supersteps=k))
+    return _train_chunks[k](state)
+
+  def eval_chunk(k, params, estate):
+    if k not in _eval_chunks:
+      _eval_chunks[k] = jax.jit(
+          functools.partial(engine.eval_run, num_supersteps=k))
+    return _eval_chunks[k](params, estate)
 
   run_iterations = 0
   while iteration <= _NUM_ITERATIONS.value:
@@ -185,8 +315,7 @@ def main(argv):
     done = 0
     while done < n:
       k = min(100, n - done)
-      state = train_chunk(state) if k == 100 else jax.jit(
-          functools.partial(engine.run, num_supersteps=k))(state)
+      state = train_chunk(k, state)
       done += k
     train_m = jax.device_get(engine.metrics(state))
     rate.update(int(train_m.env_frames) - frames_before)
@@ -198,12 +327,17 @@ def main(argv):
     estate = engine.eval_init(eval_key, num_envs=eval_envs)
     erate = StepRateTracker()
     erate.update(0)
+    # Run the eval frame budget; if no episode completed (streams × budget
+    # too small for one episode), extend up to 3× the budget until one does —
+    # the reference's single-stream protocol always completes episodes
+    # (dqn/run_atari.py:260-264 with the 108k cap), so a NaN eval return
+    # would be a protocol violation, not a signal.
     done = 0
-    while done < eval_supersteps:
-      k = min(100, eval_supersteps - done)
-      estate = eval_chunk(state.online_params, estate) if k == 100 else \
-          jax.jit(functools.partial(engine.eval_run, num_supersteps=k))(
-              state.online_params, estate)
+    while done < eval_supersteps or (
+        done < 3 * eval_supersteps
+        and int(jax.device_get(estate.completed_count)) == 0):
+      k = min(100, eval_supersteps - done) if done < eval_supersteps else 100
+      estate = eval_chunk(k, state.online_params, estate)
       done += k
     estate = jax.device_get(estate)
     erate.update(int(estate.env_frames))

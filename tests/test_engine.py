@@ -83,6 +83,26 @@ def test_all_agents_superstep(agent_name):
   assert np.isfinite(float(m.last_loss))
 
 
+def test_reset_telemetry_clears_stale_phase_state():
+  """A phase with zero completed episodes / learn steps must not report the
+  previous phase's return or loss (ref parts.py:150-247 per-phase reset)."""
+  eng = tiny_engine(num_envs=8)
+  state = eng.init(jax.random.PRNGKey(7))
+  run = jax.jit(functools.partial(eng.run, num_supersteps=40))
+  state = run(state)
+  m = eng.metrics(state)
+  assert int(m.episodes) > 0 and np.isfinite(float(m.last_loss))
+  state = eng.reset_telemetry(state)
+  m2 = eng.metrics(state)
+  assert int(m2.episodes) == 0
+  assert np.isnan(float(m2.last_loss))
+  # zero-completed-episode phase: the reported return is the mean of the
+  # IN-PROGRESS episode returns ("else current" rule, parts.py:186-196),
+  # never the previous phase's completed value.
+  assert float(m2.mean_episode_return) == pytest.approx(
+      float(jnp.mean(state.telemetry.episode_return)))
+
+
 def test_eval_runs_and_counts_episodes():
   eng = tiny_engine(num_envs=4)
   tstate = eng.init(jax.random.PRNGKey(4))

@@ -153,6 +153,67 @@ def test_space_invaders_life_loss_zero_discount():
   assert found > 0, "no life losses observed in 400 steps of random play"
 
 
+def test_seaquest_shooting_scores():
+  env = VectorAtariEnv(get_game("seaquest"), batch_size=4)
+  state = env.init(jax.random.PRNGKey(11))
+  step = jax.jit(env.step)
+  # Dive into the lanes then hold DOWNFIRE: torpedoes cross marching sharks.
+  got_reward = False
+  for i in range(60):
+    a = jnp.full((4,), 13 if i < 20 else 1, jnp.int32)  # DOWNFIRE then FIRE
+    state, out = step(state, a)
+    if (np.asarray(out.raw_reward_sum) > 0).any():
+      got_reward = True
+      break
+  assert got_reward, "diving + constant FIRE never hit a shark in 60 steps"
+
+
+def test_seaquest_life_loss_zero_discount():
+  env = VectorAtariEnv(get_game("seaquest"), batch_size=8)
+  state, outs = rollout(env, jax.random.PRNGKey(6), 400)
+  lives = np.stack([o.lives for o in outs])
+  disc = np.stack([o.discount_prod for o in outs])
+  firsts = np.stack([o.is_first for o in outs])
+  found = 0
+  for b in range(8):
+    for t in range(1, len(outs)):
+      if firsts[t, b] or firsts[t - 1, b]:
+        continue
+      if lives[t, b] < lives[t - 1, b] and lives[t, b] > 0:
+        assert disc[t, b] == 0.0
+        found += 1
+  assert found > 0, "no life losses observed in 400 steps of random play"
+
+
+def test_seaquest_oxygen_and_surfacing_rules():
+  from dqn_zoo_tpu.envs.games import seaquest as sq
+  state = sq.seaquest_init(jax.random.PRNGKey(0))
+  # Out of air underwater -> life lost, respawned at the surface, full tank.
+  state_low = state._replace(
+      player_y=jnp.asarray(120.0, jnp.float32),
+      was_surfaced=jnp.zeros((), jnp.bool_),
+      oxygen=jnp.asarray(1.0, jnp.float32))
+  s2, _, done, life_lost = sq.seaquest_step(state_low, jnp.asarray(0))
+  assert bool(life_lost) and not bool(done)
+  assert float(s2.oxygen) == sq.OXYGEN_MAX
+  assert float(s2.player_y) == sq.PLAYER_Y0
+  # Surfacing with all six divers cashes them in: +50 each, level up.
+  state_full = state._replace(
+      player_y=jnp.asarray(sq.SURFACE_Y + 2.0, jnp.float32),
+      was_surfaced=jnp.zeros((), jnp.bool_),
+      divers_held=jnp.asarray(sq.MAX_DIVERS, jnp.int32))
+  s3, reward, _, _ = sq.seaquest_step(state_full, jnp.asarray(2))  # UP
+  assert float(reward) == sq.DIVER_CASH_POINTS * sq.MAX_DIVERS
+  assert int(s3.divers_held) == 0 and int(s3.level) == 1
+  # Surfacing empty-handed costs a life.
+  state_empty = state._replace(
+      player_y=jnp.asarray(sq.SURFACE_Y + 2.0, jnp.float32),
+      was_surfaced=jnp.zeros((), jnp.bool_),
+      divers_held=jnp.zeros((), jnp.int32))
+  _, _, _, life_lost = sq.seaquest_step(state_empty, jnp.asarray(2))
+  assert bool(life_lost)
+
+
 def test_freeway_crossing_rewards():
   env = VectorAtariEnv(get_game("freeway"), batch_size=4)
   state = env.init(jax.random.PRNGKey(0))

@@ -30,6 +30,71 @@ def test_build_engine_throughput_mode_preserves_ratio_and_scales_lr():
       0.00025 * (cfg.batch_size / 32) ** 0.5)
 
 
+def test_spec_overrides_round_trip_into_engine():
+  """Reference flag surface (dqn/run_atari.py:49-95): overrides land in the
+  spec the engine (and its jitted loss/act closures) actually uses."""
+  eng = build_engine(
+      "c51", "pong", num_envs=4, replay_capacity=1024,
+      replay_ratio_mode="parity",
+      spec_overrides=dict(
+          learning_rate=1e-3, optimizer_epsilon=3e-4,
+          target_network_update_period=800, learn_period=8,
+          exploration_epsilon_begin=0.5, exploration_epsilon_end=0.02,
+          eval_exploration_epsilon=0.0, vmax=5.0, num_atoms=21))
+  s = eng.spec
+  assert s.learning_rate == 1e-3 and s.optimizer_epsilon == 3e-4
+  assert s.target_network_update_period == 800 and s.learn_period == 8
+  assert (s.exploration_epsilon_begin, s.exploration_epsilon_end) == (0.5,
+                                                                      0.02)
+  assert s.eval_exploration_epsilon == 0.0
+  assert s.vmax == 5.0 and s.num_atoms == 21
+  # learn_period override changes the derived sample ratio: 32/8 = 4
+  # samples per frame -> 4*B*4 per superstep.
+  cfg = eng.config
+  assert cfg.batch_size * cfg.updates_per_learn / cfg.learn_every == 4 * 4 * 4
+  # the overridden net-shape params reach the network: 21 atoms per action.
+  import jax
+  import numpy as np
+  params = eng.network.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 84, 84, 4), np.uint8))
+  out = eng.network.apply(params, jax.random.PRNGKey(1),
+                          np.zeros((1, 84, 84, 4), np.uint8))
+  assert out.q_logits.shape[-1] == 21
+
+
+def test_flag_surface_parses_and_collects():
+  """absl flag definitions round-trip through _spec_overrides_from_flags."""
+  from absl import flags
+  from absl.testing import flagsaver
+  from dqn_zoo_tpu.run import train as train_mod
+  flags.FLAGS.mark_as_parsed()
+  with flagsaver.flagsaver(
+      learning_rate=5e-5, grad_error_bound=0.05, n_steps=5,
+      huber_param=2.0, normalize_weights=False, num_quantiles=51,
+      importance_sampling_exponent_begin_value=0.4,
+      importance_sampling_exponent_end_value=1.0):
+    ov = train_mod._spec_overrides_from_flags()
+  assert ov == dict(learning_rate=5e-5, grad_error_bound=0.05, n_step=5,
+                    huber_param=2.0, normalize_weights=False,
+                    num_quantiles=51, importance_sampling_begin=0.4,
+                    importance_sampling_end=1.0)
+  # unset flags stay out of the overrides entirely
+  assert "vmax" not in train_mod._spec_overrides_from_flags()
+
+
+def test_unsupported_stack_and_repeat_flags_fail_loudly():
+  from absl import flags
+  from absl.testing import flagsaver
+  from dqn_zoo_tpu.run import train as train_mod
+  flags.FLAGS.mark_as_parsed()
+  with flagsaver.flagsaver(num_action_repeats=3):
+    with pytest.raises(ValueError, match="num_action_repeats"):
+      train_mod._spec_overrides_from_flags()
+  with flagsaver.flagsaver(num_stacked_frames=2):
+    with pytest.raises(ValueError, match="num_stacked_frames"):
+      train_mod._spec_overrides_from_flags()
+
+
 def test_build_engine_rainbow_n_step_replay():
   eng = build_engine("rainbow", "breakout", num_envs=8, replay_capacity=1024)
   assert eng.rcfg.n_step == 3

@@ -137,7 +137,8 @@ def main():
   @jax.jit
   def lossgrad_n(params, batch):
     def loss_fn(p):
-      out = spec.loss(net, p, target, batch, weights, jax.random.PRNGKey(0))
+      out = spec.loss(spec, net, p, target, batch, weights,
+                      jax.random.PRNGKey(0))
       return out.loss
     def body(p, _):
       loss, grads = jax.value_and_grad(loss_fn)(p)
