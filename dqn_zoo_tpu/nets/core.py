@@ -19,6 +19,7 @@ linear layers (ref networks.py:137-178, arXiv 1706.10295).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, NamedTuple, Sequence, Tuple, Union
 
 import jax
@@ -75,12 +76,15 @@ def conv2d(num_features: int,
            compute_dtype=jnp.float32) -> Module:
   """VALID-padded NHWC conv with legacy init on weights and biases.
 
-  Strided convs whose kernel and input are stride-divisible run in
-  space-to-depth form: an s×s-strided k×k conv over C channels equals a
-  stride-1 (k/s)×(k/s) conv over s²·C packed channels (same dot products,
-  reassociated). On TPU this removes the input-dilation waste in the
-  data-gradient of strided convs — measured 1.17 ms off the DQN-torso
-  fwd+bwd at batch 2048 (20%), with identical fwd cost (tools/profile_conv2).
+  Strided convs whose kernel and input are stride-divisible CAN run in
+  space-to-depth form (an s×s-strided k×k conv over C channels equals a
+  stride-1 (k/s)×(k/s) conv over s²·C packed channels): this wins the
+  isolated torso microbench (−1.17 ms fwd+bwd at batch 2048,
+  tools/profile_conv2) but LOSES ~9% end-to-end in the full training loop
+  (full-loop A/B on the real chip: 16.21k env-steps/s with DZ_DISABLE_S2D=1
+  vs 14.74k with s2d — the packing transposes break XLA's fusion of the
+  surrounding uint8-decode/scale ops into the conv). Default OFF; opt in
+  with DZ_ENABLE_S2D=1 for workloads where the conv gradient dominates.
   Params keep the reference (kh,kw,C,N) layout (ref networks.py:82-103);
   the packing is a reshape/transpose inside apply, transparent to autodiff
   and checkpoints.
@@ -104,8 +108,9 @@ def conv2d(num_features: int,
     s = strides[0]
     xc = x.astype(compute_dtype)
     wc = params["w"].astype(compute_dtype)
-    if (s > 1 and strides[1] == s and kh % s == 0 and kw % s == 0
-        and x.shape[1] % s == 0 and x.shape[2] % s == 0):
+    s2d_on = os.environ.get("DZ_ENABLE_S2D", "") == "1"
+    if (s2d_on and s > 1 and strides[1] == s and kh % s == 0
+        and kw % s == 0 and x.shape[1] % s == 0 and x.shape[2] % s == 0):
       xc, wc, window = space_to_depth(xc, s), weight_to_depth(wc, s), (1, 1)
     else:
       window = strides

@@ -156,6 +156,65 @@ class DistributedTrainer:
 
     return run
 
+  # --- evaluation ------------------------------------------------------------
+
+  def eval_init(self, key: jax.Array, num_envs: Optional[int] = None):
+    """Sharded eval state: `num_envs` streams PER DEVICE, laid out on their
+    own devices via out_shardings (nothing materialized host-side)."""
+    d = self.mesh.size
+    shard = NamedSharding(self.mesh, P(self.axis))
+
+    def build(key):
+      keys = jax.random.split(key, d)
+      return jax.vmap(lambda k: self.engine.eval_init(k, num_envs))(keys)
+
+    shapes = jax.eval_shape(build, key)
+    out_shardings = jax.tree.map(lambda _: shard, shapes)
+    return jax.jit(build, out_shardings=out_shardings)(key)
+
+  def make_eval_run(self, num_supersteps: int):
+    """Jitted distributed eval runner: (replicated params, sharded eval
+    state) -> sharded eval state. Actor-only — zero collectives (the whole
+    eval path is device-local, like the training actor path)."""
+    engine = self.engine
+    axis = self.axis
+
+    def body(online, estate):
+      local = jax.tree.map(lambda x: jnp.squeeze(x, 0), estate)
+      local = engine.eval_run(online, local, num_supersteps)
+      return jax.tree.map(lambda x: x[None], local)
+
+    sharded = jax.shard_map(
+        body, mesh=self.mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+  def eval_metrics(self, estate):
+    """Cross-shard eval aggregation (psum over the mesh axis)."""
+    axis = self.axis
+
+    def agg(e):
+      local = jax.tree.map(lambda x: jnp.squeeze(x, 0), e)
+      def tot(x):
+        return jax.lax.psum(x.astype(jnp.float32), axis)
+      return (tot(local.env_frames), tot(local.completed_count),
+              tot(local.completed_return_sum))
+
+    agg_fn = jax.jit(jax.shard_map(
+        agg, mesh=self.mesh, in_specs=(P(axis),), out_specs=P(),
+        check_vma=False))
+    frames, eps, rets = jax.device_get(agg_fn(estate))
+    episodes = float(eps)
+    return {
+        "env_frames": int(frames),
+        "episodes": episodes,
+        "mean_episode_return": float(rets) / episodes if episodes
+        else float("nan"),
+    }
+
   def metrics(self, dstate: DistState):
     """Aggregated metrics across shards (psum'd in jit — multi-host safe,
     every process reads its addressable replica)."""

@@ -50,9 +50,12 @@ class OrbaxCheckpoint:
            ) -> None:
     # Orbax writes atomically (tmp dir + rename) and asynchronously; force
     # overwrites the previous slot and wait makes the meta file the commit
-    # point (it is written only after the state is durable).
-    self._checkpointer.save(self._state_path, jax.device_get(state),
-                            force=True)
+    # point (it is written only after the state is durable). The state is
+    # passed AS-IS (no global device_get): orbax serializes sharded
+    # jax.Arrays natively, each process writing only its addressable shards
+    # — a host gather of non-addressable shards would fail on a real
+    # multi-host mesh.
+    self._checkpointer.save(self._state_path, state, force=True)
     self._checkpointer.wait_until_finished()
     os.makedirs(self._path, exist_ok=True)
     np.savez(self._meta_path, iteration=iteration,
@@ -61,9 +64,16 @@ class OrbaxCheckpoint:
                                    dtype=object))
 
   def restore(self, template) -> Tuple[Any, int, Mapping[str, Any]]:
-    state = self._checkpointer.restore(self._state_path,
-                                       jax.device_get(template))
-    state = jax.device_put(state)
+    # Abstract template: each leaf restores straight onto the template
+    # leaf's sharding (replicated/sharded alike), so restore is also
+    # multi-host safe — no host round-trip, no device_put broadcast.
+    def as_abstract(x):
+      if isinstance(x, jax.Array):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+      return x
+
+    abstract = jax.tree_util.tree_map(as_abstract, template)
+    state = self._checkpointer.restore(self._state_path, abstract)
     meta = np.load(self._meta_path, allow_pickle=True)
     fieldnames = list(meta["fieldnames"]) or None
     writer_state = {

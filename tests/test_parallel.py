@@ -69,6 +69,50 @@ def test_per_device_streams_diverge():
       np.array_equal(frames[0], frames[i]) for i in range(1, len(frames)))
 
 
+def test_distributed_eval_runs_and_counts():
+  """Eval path under the mesh: sharded streams, replicated params, psum'd
+  episode stats (VERDICT r2 #8)."""
+  trainer = make_trainer()
+  dstate = trainer.init(jax.random.PRNGKey(4))
+  estate = trainer.eval_init(jax.random.PRNGKey(5), num_envs=2)
+  eval_run = trainer.make_eval_run(num_supersteps=40)
+  estate = eval_run(dstate.online_params, estate)
+  m = trainer.eval_metrics(estate)
+  assert m["env_frames"] > 0
+  assert m["episodes"] > 0  # catch episodes are ~25 agent-steps
+  assert np.isfinite(m["mean_episode_return"])
+
+
+def test_checkpoint_roundtrip_sharded(tmp_path):
+  """OrbaxCheckpoint saves/restores the SHARDED DistState without a global
+  device_get; restored shards keep their shardings and values."""
+  from dqn_zoo_tpu.run.checkpoint import OrbaxCheckpoint
+
+  trainer = make_trainer()
+  dstate = trainer.init(jax.random.PRNGKey(6))
+  run = trainer.make_run(num_supersteps=10)
+  dstate = run(dstate)
+
+  ckpt = OrbaxCheckpoint(str(tmp_path / "ckpt"))
+  ckpt.save(dstate, iteration=3, writer_state={})
+  assert ckpt.can_be_restored()
+
+  template = trainer.init(jax.random.PRNGKey(7))  # different values
+  restored, iteration, _ = ckpt.restore(template)
+  assert iteration == 3
+  # Shardings survive the round-trip.
+  want = jax.tree_util.tree_leaves(dstate.per_device)[0].sharding
+  got = jax.tree_util.tree_leaves(restored.per_device)[0].sharding
+  assert got.is_equivalent_to(want, ndim=2)
+  # Values match the saved state, not the template.
+  for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(dstate)),
+                  jax.tree_util.tree_leaves(jax.device_get(restored))):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+  # The restored state is directly runnable under the mesh.
+  restored = run(restored)
+  assert trainer.metrics(restored)["env_frames"] > 0
+
+
 def test_training_advances_params():
   trainer = make_trainer()
   dstate = trainer.init(jax.random.PRNGKey(3))
