@@ -55,6 +55,9 @@ class EngineConfig:
   updates_per_learn: int = 1  # SGD steps per learn block
   total_train_frames: int = 200_000_000  # schedule horizon (all streams)
   env_config: VectorEnvConfig = VectorEnvConfig()
+  # "fast" (antialiased float bilinear) or "pil" (bit-exact Pillow resample,
+  # prep/pil_resize.py) for the 84×84 observation resize.
+  resize_method: str = "fast"
   # Mesh axis name for gradient psum; None on a single device.
   pmap_axis: Optional[str] = None
   # Number of identical shards running this engine (multi-chip data
@@ -199,26 +202,28 @@ class Engine:
                                       sample_obs)
     else:
       online = self.network.init(net_key, sample_obs)
-    zeros_b = jnp.zeros((b,), jnp.float32)
+    # No leaf may alias another (same buffer in two slots): the CLI donates
+    # the whole state into each train chunk, and XLA rejects donating one
+    # buffer twice. Hence the explicit target copy and per-field zeros.
     return EngineState(
         env=self.env.init(env_key),
         stack=prep.frame_stack_init(b),
         pending=PendingRow(
             frame=jnp.zeros((b, 84, 84), jnp.uint8),
             stack_count=jnp.ones((b,), jnp.int32),
-            reward=zeros_b,
-            discount=zeros_b,
+            reward=jnp.zeros((b,), jnp.float32),
+            discount=jnp.zeros((b,), jnp.float32),
             is_terminal=jnp.ones((b,), jnp.bool_),  # neutral first row
         ),
         replay=dr.replay_init(self.rcfg),
         online_params=online,
-        target_params=online,
+        target_params=jax.tree.map(jnp.copy, online),
         opt_state=self.optimizer.init(online),
         rng=key,
         env_frames=jnp.zeros((), jnp.int32),
         superstep=jnp.zeros((), jnp.int32),
         telemetry=Telemetry(
-            episode_return=zeros_b,
+            episode_return=jnp.zeros((b,), jnp.float32),
             episode_frames=jnp.zeros((b,), jnp.int32),
             completed_return_sum=jnp.zeros(()),
             completed_count=jnp.zeros(()),
@@ -289,7 +294,8 @@ class Engine:
 
     # 3-4. env step + preprocessing.
     env_state, out = self.env.step(state.env, actions)
-    obs84 = prep.pooled_frame_to_84(out.frame_penult, out.frame_last)
+    obs84 = prep.pooled_frame_to_84(out.frame_penult, out.frame_last,
+                                    self.config.resize_method)
     stack = prep.frame_stack_update(state.stack, obs84, out.is_first)
 
     # 5. cache the next pending row (FIRST rows carry zero reward/discount —
@@ -462,7 +468,8 @@ class Engine:
     actions, _ = self.spec.act(self.spec, self.network, params, act_key,
                                state.stack.frames, eps)
     env_state, out = env.step(state.env, actions)
-    obs84 = prep.pooled_frame_to_84(out.frame_penult, out.frame_last)
+    obs84 = prep.pooled_frame_to_84(out.frame_penult, out.frame_last,
+                                    self.config.resize_method)
     stack = prep.frame_stack_update(state.stack, obs84, out.is_first)
     ep_ret = state.episode_return + out.raw_reward_sum
     finished = out.is_last

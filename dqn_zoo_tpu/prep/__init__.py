@@ -8,3 +8,4 @@ from dqn_zoo_tpu.prep.atari import (
     aggregate_rewards,
     aggregate_discounts,
 )
+from dqn_zoo_tpu.prep.pil_resize import resize_pil_exact

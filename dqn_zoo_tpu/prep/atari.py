@@ -58,15 +58,24 @@ def resize_bilinear(images: jax.Array, shape=(84, 84)) -> jax.Array:
 
 
 def pooled_frame_to_84(frame_penult: jax.Array,
-                       frame_last: jax.Array) -> jax.Array:
+                       frame_last: jax.Array,
+                       resize_method: str = "fast") -> jax.Array:
   """Max-pools the two final raw frames of an action-repeat group and maps to
   the 84×84 grayscale observation.
 
   Inputs are uint8 (..., H, W, 3); either may be all-zero (episode-boundary
   padding), reproducing the reference's zero-pad max semantics
   (processors.py:489-494).
+
+  resize_method: "fast" → antialiased float bilinear (jax.image, within ±6 of
+  PIL, the throughput default); "pil" → bit-exact Pillow fixed-point resample
+  (prep/pil_resize.py) matching the reference's pinned golden hash
+  (ref processors_test.py:465-476).
   """
   pooled = jnp.maximum(frame_penult, frame_last)
+  if resize_method == "pil":
+    from dqn_zoo_tpu.prep.pil_resize import resize_pil_exact
+    return resize_pil_exact(rgb_to_y(pooled))
   return resize_bilinear(rgb_to_y(pooled))
 
 

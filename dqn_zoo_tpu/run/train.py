@@ -130,6 +130,11 @@ _TAU_SAMPLES_S_TM1 = flags.DEFINE_integer("tau_samples_s_tm1", 0, "iqn.")
 _TAU_SAMPLES_S_T = flags.DEFINE_integer("tau_samples_s_t", 0, "iqn.")
 _NOISY_WEIGHT_INIT = flags.DEFINE_float("noisy_weight_init", None, "rainbow.")
 
+_RESIZE_METHOD = flags.DEFINE_enum(
+    "resize_method", "fast", ["fast", "pil"],
+    "84x84 resize: fast (antialiased float bilinear) or pil (bit-exact "
+    "Pillow fixed-point resample matching the reference's pinned golden, "
+    "ref processors_test.py:465-476).")
 _EVAL_NUM_ENVS = flags.DEFINE_integer(
     "eval_num_envs", 0,
     "Eval env streams: fewer than training so whole episodes complete "
@@ -198,7 +203,8 @@ def build_engine(agent_name: str, game: str, num_envs: int,
                  num_iterations: int = 200,
                  num_train_frames: int = int(1e6),
                  min_replay_capacity_fraction: float = -1.0,
-                 spec_overrides: dict | None = None) -> Engine:
+                 spec_overrides: dict | None = None,
+                 resize_method: str = "fast") -> Engine:
   """Engine factory shared by the CLI, tests and bench."""
   import dataclasses
   spec = get_agent(agent_name)
@@ -237,6 +243,7 @@ def build_engine(agent_name: str, game: str, num_envs: int,
       updates_per_learn=updates,
       total_train_frames=num_iterations * num_train_frames,
       env_config=VectorEnvConfig(episode_frame_cap=max_frames_per_episode),
+      resize_method=resize_method,
   ))
 
 
@@ -247,7 +254,8 @@ def main(argv):
       _REPLAY_CAPACITY.value, _BATCH_SIZE.value, _REPLAY_RATIO_MODE.value,
       _MAX_FRAMES_PER_EPISODE.value, _NUM_ITERATIONS.value,
       _NUM_TRAIN_FRAMES.value, _MIN_REPLAY_CAPACITY_FRACTION.value,
-      spec_overrides=_spec_overrides_from_flags())
+      spec_overrides=_spec_overrides_from_flags(),
+      resize_method=_RESIZE_METHOD.value)
   writer = CsvWriter(_RESULTS_CSV_PATH.value) if _RESULTS_CSV_PATH.value \
       else NullWriter()
   checkpoint = (OrbaxCheckpoint(_CHECKPOINT_PATH.value)
@@ -288,14 +296,18 @@ def main(argv):
 
   def train_chunk(k, state):
     if k not in _train_chunks:
+      # Donating the state halves peak HBM: the replay buffer (7 GB at the
+      # reference 1e6 capacity) aliases in-place instead of living twice
+      # across the call (16 GB chip; in+out copies OOM'd post-restore).
       _train_chunks[k] = jax.jit(
-          functools.partial(engine.run, num_supersteps=k))
+          functools.partial(engine.run, num_supersteps=k), donate_argnums=0)
     return _train_chunks[k](state)
 
   def eval_chunk(k, params, estate):
     if k not in _eval_chunks:
       _eval_chunks[k] = jax.jit(
-          functools.partial(engine.eval_run, num_supersteps=k))
+          functools.partial(engine.eval_run, num_supersteps=k),
+          donate_argnums=1)
     return _eval_chunks[k](params, estate)
 
   run_iterations = 0
