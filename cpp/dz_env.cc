@@ -668,6 +668,251 @@ class Seaquest : public Game {
   int enemy_respawn_[4], divers_, lives_, level_, invuln_;
 };
 
+// ------------------------------------------------------------- asterix ----
+// Mirrors games/asterix.py: 8 lanes of drifting collectibles/lyres, 9-action
+// 8-direction movement, +50 per collect, lyre costs a life (3 lives).
+class Asterix : public Game {
+ public:
+  int num_actions() const override { return 9; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    px_ = 76.0f;
+    py_ = 30.0f + 4 * 18.0f + 4.0f;
+    for (int i = 0; i < 8; ++i) {
+      obj_x_[i] = rng.uniform(12.0f, 140.0f);
+      obj_live_[i] = true;
+      obj_lyre_[i] = rng.uniform(0.0f, 1.0f) < 0.25f;
+    }
+    score_ = 0.0f;
+    lives_ = 3;
+    respawn_delay_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *life_lost = false;
+    bool up = action == 1 || action == 5 || action == 6;
+    bool dn = action == 4 || action == 7 || action == 8;
+    bool rt = action == 2 || action == 5 || action == 7;
+    bool lf = action == 3 || action == 6 || action == 8;
+    px_ = std::clamp(px_ + (rt ? 2.0f : 0.0f) - (lf ? 2.0f : 0.0f), 12.0f,
+                     152.0f - 8.0f);
+    py_ = std::clamp(py_ + (dn ? 2.0f : 0.0f) - (up ? 2.0f : 0.0f), 30.0f,
+                     174.0f - 10.0f);
+
+    float speed = std::min(1.0f + 2e-4f * score_, 3.0f);
+    bool collected_any = false, lyre_hit = false;
+    for (int i = 0; i < 8; ++i) {
+      float d = (i % 2 == 0) ? 1.0f : -1.0f;
+      obj_x_[i] += d * speed;
+      if (obj_x_[i] < -8.0f || obj_x_[i] > 160.0f) obj_live_[i] = false;
+      if (!obj_live_[i] && rng.uniform(0.0f, 1.0f) < 0.03f) {
+        obj_x_[i] = d > 0 ? -7.0f : 159.0f;
+        obj_lyre_[i] = rng.uniform(0.0f, 1.0f) < 0.25f;
+        obj_live_[i] = true;
+      }
+      float lane_y = 30.0f + i * 18.0f + 5.0f;
+      bool oy = py_ + 10 >= lane_y && py_ <= lane_y + 8;
+      bool ox = obj_x_[i] <= px_ + 8 && obj_x_[i] + 8 >= px_;
+      if (obj_live_[i] && oy && ox) {
+        if (obj_lyre_[i]) {
+          lyre_hit = true;
+        } else {
+          collected_any = true;
+          obj_live_[i] = false;
+        }
+      }
+    }
+    float reward = collected_any ? 50.0f : 0.0f;
+    score_ += reward;
+    bool vulnerable = respawn_delay_ <= 0;
+    respawn_delay_ = std::max(respawn_delay_ - 1, 0);
+    if (lyre_hit && vulnerable) {
+      --lives_;
+      respawn_delay_ = 45;
+      for (int i = 0; i < 8; ++i) obj_live_[i] = false;  // wave reset
+    }
+    *done = lives_ <= 0;
+    *life_lost = lyre_hit && vulnerable && !*done;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 0, 30, 0, 160, 60);
+    draw_rect(o, 174, 210, 0, 160, 60);
+    for (int i = 0; i < 8; ++i) {
+      if (!obj_live_[i]) continue;
+      float lane_y = 30.0f + i * 18.0f + 5.0f;
+      draw_rect(o, lane_y, lane_y + 8, obj_x_[i], obj_x_[i] + 8,
+                obj_lyre_[i] ? 110 : 180);
+    }
+    draw_rect(o, py_, py_ + 10, px_, px_ + 8, 236);
+  }
+
+ private:
+  float px_, py_, obj_x_[8], score_;
+  bool obj_live_[8], obj_lyre_[8];
+  int lives_, respawn_delay_;
+};
+
+// ------------------------------------------------------------ atlantis ----
+// Mirrors games/atlantis.py: ships cross four altitude bands, hitscan guns
+// (center vertical, side 45° diagonals), death ray kills a city per
+// completed band-0 pass; all six cities gone ends the game.
+class Atlantis : public Game {
+ public:
+  int num_actions() const override { return 4; }
+
+  void reset(Rng& rng) override {
+    for (int i = 0; i < 4; ++i) {
+      ship_live_[i] = false;
+      ship_dir_[i] = rng.bernoulli() ? 1.0f : -1.0f;
+      ship_band_[i] = i;
+      ship_x_[i] = 0.0f;
+    }
+    for (int i = 0; i < 6; ++i) city_live_[i] = true;
+    for (int g = 0; g < 3; ++g) cooldown_[g] = flash_[g] = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *life_lost = false;
+    static const float kSpeeds[4] = {0.8f, 1.2f, 1.7f, 2.3f};
+    bool fire[3] = {action == 3, action == 1, action == 2};  // L, C, R
+    float reward = 0.0f;
+    for (int i = 0; i < 4; ++i)
+      ship_x_[i] += ship_dir_[i] * kSpeeds[ship_band_[i]];
+
+    for (int g = 0; g < 3; ++g) {
+      bool ready = fire[g] && cooldown_[g] <= 0;
+      if (ready) {
+        for (int i = 0; i < 4; ++i) {
+          if (!ship_live_[i]) continue;
+          float cy = band_y(ship_band_[i]) + 3.0f;
+          float cx = ship_x_[i] + 6.0f;
+          float beam_x = g == 1 ? 80.0f
+                                : (g == 0 ? 20.0f + (176.0f - cy)
+                                          : 140.0f - (176.0f - cy));
+          if (std::fabs(cx - beam_x) <= 5.0f + 6.0f) {
+            ship_live_[i] = false;
+            reward += 100.0f * (ship_band_[i] + 1);
+          }
+        }
+        cooldown_[g] = 8;
+        flash_[g] = 3;
+      } else {
+        cooldown_[g] = std::max(cooldown_[g] - 1, 0);
+        flash_[g] = std::max(flash_[g] - 1, 0);
+      }
+    }
+
+    for (int i = 0; i < 4; ++i) {
+      bool off = ship_x_[i] < -12.0f || ship_x_[i] > 160.0f;
+      if (ship_live_[i] && off) {
+        if (ship_band_[i] == 0) {
+          for (int c = 0; c < 6; ++c)
+            if (city_live_[c]) { city_live_[c] = false; break; }
+          ship_live_[i] = false;
+        } else {
+          --ship_band_[i];
+          ship_x_[i] = ship_dir_[i] > 0 ? -11.0f : 159.0f;
+        }
+      }
+      if (!ship_live_[i] && rng.uniform(0.0f, 1.0f) < 0.04f) {
+        ship_dir_[i] = rng.bernoulli() ? 1.0f : -1.0f;
+        ship_band_[i] = i;
+        ship_x_[i] = ship_dir_[i] > 0 ? -11.0f : 159.0f;
+        ship_live_[i] = true;
+      }
+    }
+    *done = true;
+    for (int c = 0; c < 6; ++c) *done = *done && !city_live_[c];
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 196, 210, 0, 160, 60);
+    for (int c = 0; c < 6; ++c)
+      if (city_live_[c])
+        draw_rect(o, 180, 194, 14.0f + c * 24, 14.0f + c * 24 + 14, 170);
+    for (float gx : {20.0f, 80.0f, 140.0f})
+      draw_rect(o, 176, 182, gx - 3, gx + 3, 150);
+    if (flash_[1] > 0) draw_rect(o, 30, 176, 79, 81, 220);
+    for (int i = 0; i < 4; ++i) {
+      if (!ship_live_[i]) continue;
+      float y = band_y(ship_band_[i]);
+      draw_rect(o, y, y + 6, ship_x_[i], ship_x_[i] + 12, 200);
+    }
+  }
+
+ private:
+  static float band_y(int band) {
+    return 40.0f + (3 - band) * 18.0f + 6.0f;
+  }
+  float ship_x_[4], ship_dir_[4];
+  bool ship_live_[4], city_live_[6];
+  int ship_band_[4], cooldown_[3], flash_[3];
+};
+
+// -------------------------------------------------------------- skiing ----
+// Mirrors games/skiing.py: fixed-length slalom, 20 gates, terminal reward
+// −(elapsed centiseconds + 500 per missed gate).
+class Skiing : public Game {
+ public:
+  int num_actions() const override { return 3; }
+
+  void reset(Rng& rng) override {
+    skier_x_ = 80.0f;
+    course_y_ = 0.0f;
+    frames_ = 0;
+    for (int i = 0; i < 20; ++i) {
+      gate_x_[i] = rng.uniform(28.0f, 132.0f);
+      gate_passed_[i] = gate_judged_[i] = false;
+    }
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *life_lost = false;
+    bool rt = action == 1, lf = action == 2;
+    bool turning = rt || lf;
+    skier_x_ = std::clamp(skier_x_ + (rt ? 2.0f : 0.0f) - (lf ? 2.0f : 0.0f),
+                          8.0f, 152.0f);
+    course_y_ += turning ? 1.2f : 3.0f;
+    const float spacing = 6000.0f / 21.0f;
+    for (int i = 0; i < 20; ++i) {
+      float gy = (i + 1) * spacing;
+      if (!gate_judged_[i] && gy <= course_y_) {
+        gate_judged_[i] = true;
+        gate_passed_[i] = std::fabs(gate_x_[i] - skier_x_) <= 12.0f;
+      }
+    }
+    ++frames_;
+    *done = course_y_ >= 6000.0f;
+    if (!*done) return 0.0f;
+    int missed = 0;
+    for (int i = 0; i < 20; ++i) missed += gate_passed_[i] ? 0 : 1;
+    return -(frames_ * 100.0f / 60.0f + 500.0f * missed);
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 0, 210, 0, 6, 60);
+    draw_rect(o, 0, 210, 154, 160, 60);
+    const float spacing = 6000.0f / 21.0f;
+    for (int i = 0; i < 20; ++i) {
+      if (gate_judged_[i]) continue;
+      float sy = 60.0f + ((i + 1) * spacing - course_y_);
+      if (sy < 0.0f || sy >= 204.0f) continue;
+      draw_rect(o, sy, sy + 8, gate_x_[i] - 13.5f, gate_x_[i] - 10.5f, 140);
+      draw_rect(o, sy, sy + 8, gate_x_[i] + 10.5f, gate_x_[i] + 13.5f, 140);
+    }
+    draw_rect(o, 60, 70, skier_x_ - 3, skier_x_ + 3, 236);
+  }
+
+ private:
+  float skier_x_, course_y_, gate_x_[20];
+  bool gate_passed_[20], gate_judged_[20];
+  int frames_;
+};
+
 std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "pong") return std::make_unique<Pong>();
   if (name == "breakout") return std::make_unique<Breakout>();
@@ -675,6 +920,9 @@ std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "space_invaders") return std::make_unique<SpaceInvaders>();
   if (name == "freeway") return std::make_unique<Freeway>();
   if (name == "seaquest") return std::make_unique<Seaquest>();
+  if (name == "asterix") return std::make_unique<Asterix>();
+  if (name == "atlantis") return std::make_unique<Atlantis>();
+  if (name == "skiing") return std::make_unique<Skiing>();
   return nullptr;
 }
 

@@ -70,8 +70,9 @@ def register_game(game: Game) -> Game:
 
 def get_game(name: str) -> Game:
   # Populate registry lazily to avoid import cycles.
-  from dqn_zoo_tpu.envs.games import (breakout, catch, freeway,  # noqa: F401
-                                      pong, seaquest,  # noqa: F401
+  from dqn_zoo_tpu.envs.games import (asterix, atlantis,  # noqa: F401
+                                      breakout, catch, freeway,  # noqa: F401
+                                      pong, seaquest, skiing,  # noqa: F401
                                       space_invaders)  # noqa: F401
   if name not in _REGISTRY:
     raise KeyError(f"Unknown game {name!r}; have {sorted(_REGISTRY)}")

@@ -113,3 +113,32 @@ def test_new_games_score_under_greedy_policy():
       total += float(np.sum(out.reward_sum))
     env.close()
     assert total > 0, f"{game}: greedy policy never scored"
+
+
+def test_round3_games_protocol_and_scoring():
+  """asterix / atlantis / skiing in the farm: action-set sizes match the
+  JAX games; random play scores in asterix+atlantis; skiing pays its
+  one-shot terminal time penalty (games/skiing.py reward contract)."""
+  rng = np.random.RandomState(0)
+  for game, acts in [("asterix", 9), ("atlantis", 4)]:
+    env = CppVectorEnv(game, batch_size=4, seed=11)
+    assert env.num_actions == acts
+    total = 0.0
+    for _ in range(400):
+      out = env.step(rng.randint(0, acts, 4).astype(np.int32))
+      total += float(np.sum(out.reward_sum))
+    env.close()
+    assert total > 0, f"{game}: random play never scored"
+
+  env = CppVectorEnv("skiing", batch_size=2, seed=3)
+  assert env.num_actions == 3
+  terminal_rewards = []
+  for _ in range(900):  # straight descent: 6000/3 raw frames / 4 repeat
+    out = env.step(np.zeros((2,), np.int32))
+    r = np.asarray(out.reward_sum)
+    terminal_rewards.extend(r[np.asarray(out.is_last)].tolist())
+  env.close()
+  assert terminal_rewards, "skiing never finished a run"
+  # Time-only component ≈ −(2000+ frames × 5/3 cs); misses add −500 each.
+  assert all(-17000.0 < r <= -3000.0 for r in terminal_rewards), \
+      terminal_rewards
