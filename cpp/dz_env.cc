@@ -913,6 +913,74 @@ class Skiing : public Game {
   int frames_;
 };
 
+#ifdef DZ_WITH_ALE
+// ------------------------------------------------------------ ALE hook ----
+// Full-fidelity backend for all 57 cartridges (parity with the reference's
+// gym/atari-py path, gym_atari.py:26-61). Compiled in with -DDZ_WITH_ALE and
+// linked against libale; ROMs are found under $DZ_ALE_ROM_DIR/<name>.bin.
+// The farm's EnvInstance still owns the Atari protocol (action repeat,
+// max-pool, noop starts, frame cap), so the ALE is driven one raw frame at a
+// time with its own frame-skip/sticky-action machinery disabled.
+#include <ale_interface.hpp>
+#include <cstdlib>
+
+class AleGame : public Game {
+ public:
+  explicit AleGame(const std::string& name) {
+    ale_.setInt("frame_skip", 1);
+    ale_.setFloat("repeat_action_probability", 0.0f);
+    ale_.setBool("color_averaging", false);
+    const char* dir = std::getenv("DZ_ALE_ROM_DIR");
+    std::string rom = std::string(dir ? dir : ".") + "/" + name + ".bin";
+    ale_.loadROM(rom);
+    actions_ = ale_.getMinimalActionSet();
+    start_lives_ = ale_.lives();
+  }
+
+  int num_actions() const override { return int(actions_.size()); }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    (void)rng;  // the ALE owns its episode RNG (system reset)
+    ale_.reset_game();
+    lives_ = ale_.lives();
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    (void)rng;
+    float r = float(ale_.act(actions_[action]));
+    int now = ale_.lives();
+    *life_lost = now < lives_ && now > 0;
+    lives_ = now;
+    *done = ale_.game_over();
+    return r;
+  }
+
+  void render(uint8_t* o) const override {
+    // Grayscale 210x160 from the ALE, area-averaged to 84x84 (the built-in
+    // games draw directly; full PIL-exact resize lives on the device path).
+    std::vector<unsigned char> gray;
+    ale_.getScreenGrayscale(gray);
+    const int H = 210, W = 160;
+    for (int y = 0; y < kObs; ++y) {
+      int y0 = y * H / kObs, y1 = std::max(y0 + 1, (y + 1) * H / kObs);
+      for (int x = 0; x < kObs; ++x) {
+        int x0 = x * W / kObs, x1 = std::max(x0 + 1, (x + 1) * W / kObs);
+        int sum = 0;
+        for (int yy = y0; yy < y1; ++yy)
+          for (int xx = x0; xx < x1; ++xx) sum += gray[yy * W + xx];
+        o[y * kObs + x] = uint8_t(sum / ((y1 - y0) * (x1 - x0)));
+      }
+    }
+  }
+
+ private:
+  mutable ale::ALEInterface ale_;
+  ale::ActionVect actions_;
+  int lives_ = 0, start_lives_ = 0;
+};
+#endif  // DZ_WITH_ALE
+
 std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "pong") return std::make_unique<Pong>();
   if (name == "breakout") return std::make_unique<Breakout>();
@@ -923,6 +991,13 @@ std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "asterix") return std::make_unique<Asterix>();
   if (name == "atlantis") return std::make_unique<Atlantis>();
   if (name == "skiing") return std::make_unique<Skiing>();
+#ifdef DZ_WITH_ALE
+  try {
+    return std::make_unique<AleGame>(name);
+  } catch (...) {
+    return nullptr;  // ROM missing/unloadable → same contract as unknown
+  }
+#endif
   return nullptr;
 }
 

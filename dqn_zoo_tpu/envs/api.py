@@ -75,5 +75,24 @@ def get_game(name: str) -> Game:
                                       pong, seaquest, skiing,  # noqa: F401
                                       space_invaders)  # noqa: F401
   if name not in _REGISTRY:
+    from dqn_zoo_tpu.run.atari_data import ATARI_GAMES
+    if name in ATARI_GAMES:
+      raise KeyError(
+          f"{name!r} is an Atari-57 cartridge without a JAX-native "
+          f"implementation yet; JAX-native: {sorted(_REGISTRY)}. The full "
+          "cartridge runs on the C++ farm's ALE backend: build with "
+          "`make -C cpp ale` and set DZ_ENV_LIB=libdz_env_ale.so "
+          "DZ_ALE_ROM_DIR=<roms> (envs/cpp_bridge.py).")
     raise KeyError(f"Unknown game {name!r}; have {sorted(_REGISTRY)}")
   return _REGISTRY[name]
+
+
+def available_games() -> tuple:
+  """Names with a JAX-native implementation (the reference registers all 57
+  cartridge names, gym_atari.py:37-61; name-level parity lives in
+  run/atari_data.ATARI_GAMES + the ALE farm hook)."""
+  try:
+    get_game("")  # populate the lazy registry
+  except KeyError:
+    pass
+  return tuple(sorted(_REGISTRY))

@@ -17,7 +17,10 @@ from typing import NamedTuple
 import numpy as np
 
 _CPP_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "cpp")
-_SO_PATH = os.path.abspath(os.path.join(_CPP_DIR, "libdz_env.so"))
+# DZ_ENV_LIB selects an alternative farm build — e.g. libdz_env_ale.so
+# (`make -C cpp ale`) for the full-57-cartridge ALE backend.
+_SO_PATH = os.path.abspath(
+    os.path.join(_CPP_DIR, os.environ.get("DZ_ENV_LIB", "libdz_env.so")))
 
 
 class HostGroupOutput(NamedTuple):

@@ -20,5 +20,8 @@ for i in $(seq 1 "$RUNS"); do
     --checkpoint_path="$CKPT" --results_csv_path="$CSV" \
     --checkpoint_replay=false --checkpoint_period="$ITERS_PER_RUN"
   echo "=== run $i exited rc=$? $(date)"
-  sleep 45
+  # Lease teardown after a heavy run takes >45s; starting the next process
+  # too early wedges it on a futex waiting for a claim that never grants
+  # (observed twice on 2026-08-20). 120s is reliably enough.
+  sleep 120
 done
