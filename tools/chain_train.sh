@@ -20,8 +20,11 @@ for i in $(seq 1 "$RUNS"); do
     --checkpoint_path="$CKPT" --results_csv_path="$CSV" \
     --checkpoint_replay=false --checkpoint_period="$ITERS_PER_RUN"
   echo "=== run $i exited rc=$? $(date)"
-  # Lease teardown after a heavy run takes >45s; starting the next process
-  # too early wedges it on a futex waiting for a claim that never grants
-  # (observed twice on 2026-08-20). 120s is reliably enough.
-  sleep 120
+  # Lease teardown after a CLEAN heavy-run exit lingers for minutes; a
+  # process started inside that window waits on a futex for a grant that
+  # never arrives (observed 4x on 2026-08-20: 45s and 120s gaps both wedged
+  # alternating runs, while runs started after a kill — immediate teardown —
+  # always claimed fine). 300s clears the lingering lease; pair with
+  # tools/chain_watchdog.sh as the backstop.
+  sleep 300
 done
