@@ -913,6 +913,85 @@ class Skiing : public Game {
   int frames_;
 };
 
+// ------------------------------------------------------------- boxing ----
+// Same dynamics as the JAX-native game (games/boxing.py): two boxers, 18
+// full-set actions, +1/-1 per punch landed/taken, 2-minute bout, 100-hit KO.
+class Boxing : public Game {
+ public:
+  int num_actions() const override { return 18; }
+
+  void reset(Rng& rng) override {
+    float y0 = (45.0f + 178.0f) / 2.0f - 11.0f;
+    px_ = 32.0f + 12.0f;
+    ex_ = 124.0f - 12.0f - 8.0f;
+    py_ = y0 + rng.uniform(-16.0f, 16.0f);
+    ey_ = y0 + rng.uniform(-16.0f, 16.0f);
+    p_punch_ = e_punch_ = p_cool_ = 0;
+    e_cool_ = rng.randint(0, 24);
+    p_hits_ = e_hits_ = frame_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *life_lost = false;
+    // Full-action-set decode (order per gym_atari.py's 18-action table).
+    auto in = [&](std::initializer_list<int> set) {
+      for (int a : set) if (action == a) return true;
+      return false;
+    };
+    bool up = in({2, 6, 7, 10, 14, 15}), down = in({5, 8, 9, 13, 16, 17});
+    bool right = in({3, 6, 8, 11, 14, 16}), left = in({4, 7, 9, 12, 15, 17});
+    bool fire = action == 1 || action >= 10;
+    px_ = std::clamp(px_ + (right - left) * 2.0f, 32.0f, 124.0f - 8.0f);
+    py_ = std::clamp(py_ + (down - up) * 2.0f, 45.0f, 178.0f - 22.0f);
+
+    // Enemy: hold range just inside reach, align vertically, counterpunch.
+    float gap = px_ + 8.0f - ex_;
+    float wx = gap < -14.0f + 2.0f ? -1.4f : (gap > -4.0f ? 1.4f : 0.0f);
+    ex_ = std::clamp(ex_ + wx, 32.0f, 124.0f - 8.0f);
+    ey_ = std::clamp(ey_ + std::clamp(py_ - ey_, -1.4f, 1.4f), 45.0f,
+                     178.0f - 22.0f);
+
+    bool aligned = std::fabs(py_ - ey_) <= 14.0f;
+    float dist = ex_ - (px_ + 8.0f);
+    bool p_start = fire && p_cool_ <= 0;
+    bool e_start = aligned && dist <= 14.0f && e_cool_ <= 0 &&
+                   rng.uniform(0.0f, 1.0f) < 0.25f;
+    p_punch_ = p_start ? 4 : std::max(p_punch_ - 1, 0);
+    e_punch_ = e_start ? 4 : std::max(e_punch_ - 1, 0);
+    p_cool_ = p_start ? 24 : std::max(p_cool_ - 1, 0);
+    e_cool_ = e_start ? 24 : std::max(e_cool_ - 1, 0);
+
+    bool p_lands = p_start && aligned && dist <= 14.0f;
+    bool e_lands = e_start && aligned && dist <= 14.0f && !p_lands;
+    if (p_lands) ex_ = std::clamp(ex_ + 6.0f, 32.0f, 124.0f - 8.0f);
+    if (e_lands) px_ = std::clamp(px_ - 6.0f, 32.0f, 124.0f - 8.0f);
+    p_hits_ += p_lands;
+    e_hits_ += e_lands;
+
+    ++frame_;
+    *done = frame_ >= 7200 || p_hits_ >= 100 || e_hits_ >= 100;
+    return float(p_lands) - float(e_lands);
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 39, 184, 24, 140, 90);  // mat
+    draw_rect(o, 39, 41, 24, 140, 150);  // ropes
+    draw_rect(o, 182, 184, 24, 140, 150);
+    float pr = p_punch_ > 0 ? 14.0f : 3.0f;
+    float er = e_punch_ > 0 ? 14.0f : 3.0f;
+    draw_rect(o, py_ + 6, py_ + 10, px_ + 8, px_ + 8 + pr, 200);
+    draw_rect(o, ey_ + 6, ey_ + 10, ex_ - er, ex_, 40);
+    draw_rect(o, py_, py_ + 22, px_, px_ + 8, 252);
+    draw_rect(o, ey_, ey_ + 22, ex_, ex_ + 8, 20);
+    draw_rect(o, 16, 22, 16, 16.0f + std::min(p_hits_, 64), 252);
+    draw_rect(o, 16, 22, 144.0f - std::min(e_hits_, 64), 144, 30);
+  }
+
+ private:
+  float px_, py_, ex_, ey_;
+  int p_punch_, e_punch_, p_cool_, e_cool_, p_hits_, e_hits_, frame_;
+};
+
 #ifdef DZ_WITH_ALE
 // ------------------------------------------------------------ ALE hook ----
 // Full-fidelity backend for all 57 cartridges (parity with the reference's
@@ -991,6 +1070,7 @@ std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "asterix") return std::make_unique<Asterix>();
   if (name == "atlantis") return std::make_unique<Atlantis>();
   if (name == "skiing") return std::make_unique<Skiing>();
+  if (name == "boxing") return std::make_unique<Boxing>();
 #ifdef DZ_WITH_ALE
   try {
     return std::make_unique<AleGame>(name);

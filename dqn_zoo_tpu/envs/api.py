@@ -71,9 +71,9 @@ def register_game(game: Game) -> Game:
 def get_game(name: str) -> Game:
   # Populate registry lazily to avoid import cycles.
   from dqn_zoo_tpu.envs.games import (asterix, atlantis,  # noqa: F401
-                                      breakout, catch, freeway,  # noqa: F401
-                                      pong, seaquest, skiing,  # noqa: F401
-                                      space_invaders)  # noqa: F401
+                                      boxing, breakout, catch,  # noqa: F401
+                                      freeway, pong, seaquest,  # noqa: F401
+                                      skiing, space_invaders)  # noqa: F401
   if name not in _REGISTRY:
     from dqn_zoo_tpu.run.atari_data import ATARI_GAMES
     if name in ATARI_GAMES:

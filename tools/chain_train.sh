@@ -9,8 +9,10 @@ RUNS=${3:-6}
 ITERS_PER_RUN=${4:-4}
 NUM_ITERS=${5:-24}
 SEED=${6:-3}
-CKPT=/tmp/ckpt_${AGENT}_${GAME}_s${SEED}
-CSV=/root/repo/results/${AGENT}_${GAME}_$((NUM_ITERS * 2))M_seed${SEED}.csv
+# /tmp does not survive machine restarts (a 10M-frame rainbow chain lost its
+# resume state that way on 2026-08-20); default somewhere persistent.
+CKPT=${CKPT:-/root/repo/.ckpt/${AGENT}_${GAME}_s${SEED}}
+CSV=${CSV:-/root/repo/results/${AGENT}_${GAME}_$((NUM_ITERS * 2))M_seed${SEED}.csv}
 for i in $(seq 1 "$RUNS"); do
   echo "=== run $i/$RUNS $(date)"
   python -m dqn_zoo_tpu.run.train --agent="$AGENT" \
