@@ -992,6 +992,86 @@ class Boxing : public Game {
   int p_punch_, e_punch_, p_cool_, e_cool_, p_hits_, e_hits_, frame_;
 };
 
+// ------------------------------------------------------------- enduro ----
+// Same dynamics as the JAX-native game (games/enduro.py): 9-action racing,
+// +1 per clean overtake / -1 when re-passed, collisions drop speed.
+class Enduro : public Game {
+ public:
+  int num_actions() const override { return 9; }
+
+  void reset(Rng& rng) override {
+    px_ = 76.0f;
+    speed_ = 0.8f;
+    passed_ = frame_ = 0;
+    for (int i = 0; i < kCars; ++i) respawn(i, rng);
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *life_lost = false;
+    bool fire = action == 1 || action == 7 || action == 8;
+    bool right = action == 2 || action == 5 || action == 7;
+    bool left = action == 3 || action == 6 || action == 8;
+    bool brake = action == 4 || action == 5 || action == 6;
+    speed_ = std::clamp(speed_ + (fire ? 0.08f : 0.0f)
+                        - (brake ? 0.2f : 0.0f) - 0.02f, 0.0f, 6.0f);
+    px_ = std::clamp(px_ + (right - left) * 2.5f, 42.0f, 110.0f);
+
+    float rel = speed_ - 2.4f;
+    float reward = 0.0f;
+    bool any_hit = false;
+    for (int i = 0; i < kCars; ++i) {
+      float z0 = z_[i];
+      z_[i] -= rel;
+      bool down = z0 > 0.0f && z_[i] <= 0.0f;
+      bool up = z0 <= 0.0f && z_[i] > 0.0f;
+      bool same = std::fabs(kLaneX[lane_[i]] - px_) < 14.0f;
+      bool hit = (down || up || std::fabs(z_[i]) < 2.0f) && same;
+      if (hit) {
+        any_hit = true;
+        z_[i] = 12.0f;
+      } else if (down) {
+        reward += 1.0f;
+        ++passed_;
+      } else if (up) {
+        reward -= 1.0f;
+        --passed_;
+      }
+      if (z_[i] < -60.0f) respawn(i, rng);
+    }
+    if (any_hit) speed_ = 0.8f;
+    ++frame_;
+    *done = frame_ >= 10000;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 54, 100, 56, 104, 90);
+    draw_rect(o, 100, 140, 44, 116, 90);
+    draw_rect(o, 140, 182, 32, 128, 90);
+    for (int i = 0; i < kCars; ++i) {
+      if (z_[i] <= 0.0f) continue;
+      float t = std::sqrt(std::min(z_[i], 400.0f) / 400.0f);
+      float y = 160.0f - (160.0f - 58.0f) * t;
+      float s = 1.0f - 0.7f * t;
+      float x = 80.0f + (kLaneX[lane_[i]] - 80.0f) * (1.0f - 0.6f * t);
+      draw_rect(o, y - 10.0f * s, y, x - 7.0f * s, x + 7.0f * s, 170);
+    }
+    draw_rect(o, 160, 170, px_ - 7, px_ + 7, 236);
+    draw_rect(o, 192, 198, 16,
+              16.0f + std::clamp(passed_, 0, 128), 200);
+  }
+
+ private:
+  static constexpr int kCars = 6;
+  static constexpr float kLaneX[3] = {52.0f, 76.0f, 100.0f};
+  void respawn(int i, Rng& rng) {
+    z_[i] = rng.uniform(240.0f, 400.0f);
+    lane_[i] = rng.randint(0, 3);
+  }
+  float px_, speed_, z_[kCars];
+  int lane_[kCars], passed_, frame_;
+};
+
 #ifdef DZ_WITH_ALE
 // ------------------------------------------------------------ ALE hook ----
 // Full-fidelity backend for all 57 cartridges (parity with the reference's
@@ -1071,6 +1151,7 @@ std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "atlantis") return std::make_unique<Atlantis>();
   if (name == "skiing") return std::make_unique<Skiing>();
   if (name == "boxing") return std::make_unique<Boxing>();
+  if (name == "enduro") return std::make_unique<Enduro>();
 #ifdef DZ_WITH_ALE
   try {
     return std::make_unique<AleGame>(name);

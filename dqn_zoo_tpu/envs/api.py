@@ -72,8 +72,9 @@ def get_game(name: str) -> Game:
   # Populate registry lazily to avoid import cycles.
   from dqn_zoo_tpu.envs.games import (asterix, atlantis,  # noqa: F401
                                       boxing, breakout, catch,  # noqa: F401
-                                      freeway, pong, seaquest,  # noqa: F401
-                                      skiing, space_invaders)  # noqa: F401
+                                      enduro, freeway, pong,  # noqa: F401
+                                      seaquest, skiing,  # noqa: F401
+                                      space_invaders)  # noqa: F401
   if name not in _REGISTRY:
     from dqn_zoo_tpu.run.atari_data import ATARI_GAMES
     if name in ATARI_GAMES:
