@@ -1072,6 +1072,168 @@ class Enduro : public Game {
   int lane_[kCars], passed_, frame_;
 };
 
+// ---------------------------------------------------------- ms_pacman ----
+// Same dynamics as the JAX-native game (games/ms_pacman.py): 21x19 maze,
+// cell-quantized movement (ghosts on the opposite phase), pellets/power
+// pellets/fright, doubling ghost bounties, 3 lives.
+class MsPacman : public Game {
+ public:
+  int num_actions() const override { return 9; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    (void)rng;
+    for (int r = 0; r < kR; ++r)
+      for (int c = 0; c < kC; ++c) {
+        pellet_[r][c] = kMaze[r][c] == '.';
+        power_[r][c] = kMaze[r][c] == 'o';
+      }
+    start_positions();
+    want_ = pdir_ = 4;
+    fright_ = combo_ = frame_ = 0;
+    lives_ = 3;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *life_lost = false;
+    static const int kDR[5] = {-1, 0, 1, 0, 0}, kDC[5] = {0, 1, 0, -1, 0};
+    static const int kPrim[9] = {4, 0, 1, 3, 2, 1, 3, 1, 3};
+    static const int kSec[9] = {4, 0, 1, 3, 2, 0, 0, 2, 2};
+    int prim = kPrim[action], sec = kSec[action];
+    if (prim != 4) want_ = prim;
+    float reward = 0.0f;
+
+    if (frame_ % 2 == 0) {  // player phase
+      int d = 4;
+      if (open(pr_ + kDR[want_], pc_ + kDC[want_]) && want_ != 4) d = want_;
+      else if (prim != 4 && sec != 4 && open(pr_ + kDR[sec], pc_ + kDC[sec]))
+        d = sec;
+      else if (pdir_ != 4 && open(pr_ + kDR[pdir_], pc_ + kDC[pdir_]))
+        d = pdir_;
+      pdir_ = d;
+      pr_ += kDR[d];
+      pc_ = (pc_ + kDC[d] + kC) % kC;
+      if (pellet_[pr_][pc_]) { pellet_[pr_][pc_] = false; reward += 10.0f; }
+      if (power_[pr_][pc_]) {
+        power_[pr_][pc_] = false;
+        reward += 50.0f;
+        fright_ = 360;
+        combo_ = 0;
+      }
+    }
+    if (fright_ > 0) --fright_;
+
+    int period = fright_ > 0 ? 3 : 2;
+    if (frame_ % period == 1) {  // ghost phase
+      for (int g = 0; g < 4; ++g) {
+        int best = -1;
+        float best_score = 1e9f;
+        int rev = gdir_[g] < 4 ? (gdir_[g] + 2) % 4 : -1;
+        int n_open = 0;
+        for (int d = 0; d < 4; ++d)
+          n_open += open(gr_[g] + kDR[d], gc_[g] + kDC[d]);
+        bool random_pick = rng.uniform(0.0f, 1.0f) < 0.25f;
+        for (int d = 0; d < 4; ++d) {
+          if (!open(gr_[g] + kDR[d], gc_[g] + kDC[d])) continue;
+          if (d == rev && n_open > 1) continue;
+          int nr = gr_[g] + kDR[d], nc = (gc_[g] + kDC[d] + kC) % kC;
+          int dcol = std::abs(nc - pc_);
+          float dist = std::abs(nr - pr_) + std::min(dcol, kC - dcol);
+          float score = fright_ > 0 ? -dist : dist;
+          if (random_pick) score = rng.uniform(0.0f, 10.0f);
+          else score += rng.uniform(0.0f, 0.5f);
+          if (score < best_score) { best_score = score; best = d; }
+        }
+        if (best >= 0) {
+          gdir_[g] = best;
+          gr_[g] += kDR[best];
+          gc_[g] = (gc_[g] + kDC[best] + kC) % kC;
+        }
+      }
+    }
+
+    bool died = false;
+    for (int g = 0; g < 4; ++g) {
+      if (gr_[g] != pr_ || gc_[g] != pc_) continue;
+      if (fright_ > 0) {
+        reward += 200.0f * float(1 << combo_);
+        ++combo_;
+        gr_[g] = kHomeR;
+        gc_[g] = kHomeC;
+      } else {
+        died = true;
+      }
+    }
+    if (died) {
+      --lives_;
+      start_positions();
+      pdir_ = want_ = 4;
+      fright_ = 0;
+      *life_lost = lives_ > 0;
+    }
+
+    bool any = false;
+    for (int r = 0; r < kR && !any; ++r)
+      for (int c = 0; c < kC; ++c)
+        if (pellet_[r][c] || power_[r][c]) { any = true; break; }
+    if (!any)
+      for (int r = 0; r < kR; ++r)
+        for (int c = 0; c < kC; ++c) {
+          pellet_[r][c] = kMaze[r][c] == '.';
+          power_[r][c] = kMaze[r][c] == 'o';
+        }
+
+    ++frame_;
+    *done = lives_ <= 0 || frame_ >= 20000;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    auto cell = [&](int r, int c, uint8_t v) {
+      draw_rect(o, 22.0f + r * 8, 22.0f + r * 8 + 8, 4.0f + c * 8,
+                4.0f + c * 8 + 8, v);
+    };
+    for (int r = 0; r < kR; ++r)
+      for (int c = 0; c < kC; ++c) {
+        if (kMaze[r][c] == 'W') cell(r, c, 70);
+        else if (power_[r][c]) cell(r, c, 190);
+        else if (pellet_[r][c]) cell(r, c, 110);
+      }
+    for (int g = 0; g < 4; ++g)
+      cell(gr_[g], gc_[g], fright_ > 0 ? 140 : uint8_t(160 + 20 * g));
+    cell(pr_, pc_, 252);
+    draw_rect(o, 200, 206, 8, 8.0f + 10 * lives_, 252);
+  }
+
+ private:
+  static constexpr int kR = 21, kC = 19, kHomeR = 9, kHomeC = 8;
+  static constexpr const char* kMaze[kR] = {
+      "WWWWWWWWWWWWWWWWWWW", "W........W........W", "WoWW.WWW.W.WWW.WWoW",
+      "W.................W", "W.WW.W.WWWWW.W.WW.W", "W....W...W...W....W",
+      "WWWW.WWW.W.WWW.WWWW", "WWWW.W       W.WWWW", "WWWW.W WW WW W.WWWW",
+      "    .  WGGGW  .    ", "WWWW.W WWWWW W.WWWW", "WWWW.W       W.WWWW",
+      "WWWW.W WWWWW W.WWWW", "W........W........W", "W.WW.WWW.W.WWW.WW.W",
+      "Wo.W.....P.....W.oW", "WW.W.W.WWWWW.W.W.WW", "W....W...W...W....W",
+      "W.WWWWWW.W.WWWWWW.W", "W.................W", "WWWWWWWWWWWWWWWWWWW"};
+  bool open(int r, int c) const {
+    c = (c + kC) % kC;
+    return r >= 0 && r < kR && kMaze[r][c] != 'W';
+  }
+  void start_positions() {
+    pr_ = 15;
+    pc_ = 9;
+    int i = 0;
+    for (int r = 0; r < kR; ++r)
+      for (int c = 0; c < kC; ++c)
+        if (kMaze[r][c] == 'G' && i < 4) { gr_[i] = r; gc_[i] = c; ++i; }
+    while (i < 4) { gr_[i] = gr_[i - 1]; gc_[i] = gc_[i - 1]; ++i; }
+    for (int g = 0; g < 4; ++g) gdir_[g] = 0;
+  }
+  bool pellet_[kR][kC], power_[kR][kC];
+  int pr_, pc_, pdir_, want_, gr_[4], gc_[4], gdir_[4];
+  int fright_, combo_, lives_, frame_;
+};
+
 #ifdef DZ_WITH_ALE
 // ------------------------------------------------------------ ALE hook ----
 // Full-fidelity backend for all 57 cartridges (parity with the reference's
@@ -1152,6 +1314,7 @@ std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "skiing") return std::make_unique<Skiing>();
   if (name == "boxing") return std::make_unique<Boxing>();
   if (name == "enduro") return std::make_unique<Enduro>();
+  if (name == "ms_pacman") return std::make_unique<MsPacman>();
 #ifdef DZ_WITH_ALE
   try {
     return std::make_unique<AleGame>(name);

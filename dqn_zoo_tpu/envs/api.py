@@ -72,7 +72,8 @@ def get_game(name: str) -> Game:
   # Populate registry lazily to avoid import cycles.
   from dqn_zoo_tpu.envs.games import (asterix, atlantis,  # noqa: F401
                                       boxing, breakout, catch,  # noqa: F401
-                                      enduro, freeway, pong,  # noqa: F401
+                                      enduro, freeway,  # noqa: F401
+                                      ms_pacman, pong,  # noqa: F401
                                       seaquest, skiing,  # noqa: F401
                                       space_invaders)  # noqa: F401
   if name not in _REGISTRY:
