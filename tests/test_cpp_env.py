@@ -142,3 +142,40 @@ def test_round3_games_protocol_and_scoring():
   # Time-only component ≈ −(2000+ frames × 5/3 cs); misses add −500 each.
   assert all(-17000.0 < r <= -3000.0 for r in terminal_rewards), \
       terminal_rewards
+
+
+def test_round3b_games_protocol_and_scoring():
+  """boxing / enduro / ms_pacman in the farm: action-set sizes match the
+  JAX games and their reward channels are live (same strategy as
+  test_round3_games_protocol_and_scoring)."""
+  rng = np.random.RandomState(0)
+
+  # ms_pacman: random play eats pellets — strictly positive score.
+  env = CppVectorEnv("ms_pacman", batch_size=4, seed=5)
+  assert env.num_actions == 9
+  total = 0.0
+  for _ in range(300):
+    out = env.step(rng.randint(0, 9, 4).astype(np.int32))
+    total += float(np.sum(out.reward_sum))
+  env.close()
+  assert total > 0
+
+  # boxing: punches land in both directions — reward events occur.
+  env = CppVectorEnv("boxing", batch_size=4, seed=6)
+  assert env.num_actions == 18
+  events = 0
+  for _ in range(400):
+    out = env.step(rng.randint(0, 18, 4).astype(np.int32))
+    events += int(np.sum(np.abs(np.asarray(out.reward_sum)) > 0))
+  env.close()
+  assert events > 0
+
+  # enduro: held throttle from the center lane nets clean overtakes.
+  env = CppVectorEnv("enduro", batch_size=4, seed=7)
+  assert env.num_actions == 9
+  total = 0.0
+  for _ in range(600):
+    out = env.step(np.ones((4,), np.int32))  # FIRE
+    total += float(np.sum(out.reward_sum))
+  env.close()
+  assert total > 0
