@@ -4,6 +4,14 @@ ALE-compatible surface: 4 actions (NOOP, FIRE, RIGHT, LEFT), 210×160×3
 frames, per-brick rewards scored by row (7/7/4/4/1/1 like ALE), 5 lives with
 life-loss signaling (exercises the ZeroDiscountOnLifeLoss path,
 processors.py:274-293). The wall respawns when cleared.
+
+Difficulty calibration: this parameterization's floor is higher than the
+cartridge's — random-action play averages ≈19 per 5-life episode and an
+untrained-greedy policy ≈60 (measured 2026-08-21) vs ALE's random anchor
+1.7 (atari_data.py:42-102) — because the serve always enters the paddle's
+half and rallies are long. Human-normalized columns computed against the
+ALE anchors therefore overstate early breakout scores; pong (floor −21 ≈
+ALE −20.7) is the calibrated curve-parity game. See results/LEARNING.md.
 """
 
 from __future__ import annotations

@@ -20,7 +20,7 @@ for i in $(seq 1 "$RUNS"); do
     --seed="$SEED" --num_iterations="$NUM_ITERS" --num_train_frames=2000000 \
     --num_eval_frames=500000 --iterations_per_run="$ITERS_PER_RUN" \
     --checkpoint_path="$CKPT" --results_csv_path="$CSV" \
-    --checkpoint_replay=false --checkpoint_period="$ITERS_PER_RUN"
+    --checkpoint_replay=false --checkpoint_period=1
   echo "=== run $i exited rc=$? $(date)"
   # Lease teardown after a CLEAN heavy-run exit lingers for minutes; a
   # process started inside that window waits on a futex for a grant that
