@@ -23,8 +23,8 @@ class NullCheckpoint:
   def can_be_restored(self) -> bool:
     return False
 
-  def save(self, state, iteration, writer_state) -> None:
-    del state, iteration, writer_state
+  def save(self, state, iteration, writer_state, train_done: int = 0) -> None:
+    del state, iteration, writer_state, train_done
 
   def restore(self, template):
     raise RuntimeError("Nothing to restore.")
@@ -46,8 +46,8 @@ class OrbaxCheckpoint:
   def can_be_restored(self) -> bool:
     return os.path.exists(self._meta_path)
 
-  def save(self, state, iteration: int, writer_state: Mapping[str, Any]
-           ) -> None:
+  def save(self, state, iteration: int, writer_state: Mapping[str, Any],
+           train_done: int = 0) -> None:
     # Orbax writes atomically (tmp dir + rename) and asynchronously; force
     # overwrites the previous slot and wait makes the meta file the commit
     # point (it is written only after the state is durable). The state is
@@ -55,15 +55,23 @@ class OrbaxCheckpoint:
     # jax.Arrays natively, each process writing only its addressable shards
     # — a host gather of non-addressable shards would fail on a real
     # multi-host mesh.
+    #
+    # train_done: supersteps already completed inside `iteration`'s train
+    # phase — lets a resumed run continue MID-iteration. Needed because the
+    # hosted runtime revokes the TPU lease ~5-7 min after claim
+    # (FAILED_PRECONDITION; round-3 breakout chain died 5/5 inside its first
+    # 2M-frame train phase with no save point — see VERDICT.md round 3 #1).
     self._checkpointer.save(self._state_path, state, force=True)
     self._checkpointer.wait_until_finished()
     os.makedirs(self._path, exist_ok=True)
-    np.savez(self._meta_path, iteration=iteration,
+    tmp = self._meta_path + ".tmp.npz"
+    np.savez(tmp, iteration=iteration, train_done=train_done,
              header_written=writer_state.get("header_written", False),
              fieldnames=np.asarray(writer_state.get("fieldnames") or [],
                                    dtype=object))
+    os.replace(tmp, self._meta_path)
 
-  def restore(self, template) -> Tuple[Any, int, Mapping[str, Any]]:
+  def restore(self, template) -> Tuple[Any, int, Mapping[str, Any], int]:
     # Abstract template: each leaf restores straight onto the template
     # leaf's sharding (replicated/sharded alike), so restore is also
     # multi-host safe — no host round-trip, no device_put broadcast.
@@ -80,4 +88,5 @@ class OrbaxCheckpoint:
         "header_written": bool(meta["header_written"]),
         "fieldnames": fieldnames,
     }
-    return state, int(meta["iteration"]), writer_state
+    train_done = int(meta["train_done"]) if "train_done" in meta else 0
+    return state, int(meta["iteration"]), writer_state, train_done

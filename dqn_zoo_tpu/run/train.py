@@ -76,6 +76,19 @@ _ITERATIONS_PER_RUN = flags.DEFINE_integer(
     "Lets long trainings split across processes via --checkpoint_path while "
     "schedule horizons (set by num_iterations) stay fixed — needed where a "
     "runtime bounds single-process device time.")
+_MAX_RUN_SECONDS = flags.DEFINE_integer(
+    "max_run_seconds", 0,
+    "Wall-clock budget measured from the first successful device fetch "
+    "(= TPU claim). Past it, the driver saves (mid-iteration if needed) and "
+    "exits cleanly at the next chunk boundary. 0 disables. Needed on hosted "
+    "runtimes that revoke the device lease a few minutes after claim: the "
+    "round-3 breakout chain died 5/5 with FAILED_PRECONDITION inside its "
+    "first train phase, before any save point existed.")
+_SAVE_INTERVAL_SECONDS = flags.DEFINE_integer(
+    "save_interval_seconds", 0,
+    "Also save mid-train every N seconds (0 = only at iteration boundaries "
+    "and budget exit), so an unexpected lease death loses at most ~N s of "
+    "work. Requires --checkpoint_path.")
 # --- agent hyperparameter overrides (reference flag surface,
 # dqn/run_atari.py:49-95 and the per-agent runners). Unset (None / <0)
 # keeps the agent's reference default from its AgentSpec. Values round-trip
@@ -249,6 +262,16 @@ def build_engine(agent_name: str, game: str, num_envs: int,
 
 def main(argv):
   del argv
+  import os
+  cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+  if cache:
+    # Persistent compile cache: chained lease-split runs re-trace the same
+    # programs every leg; a disk cache amortizes the ~40-90s compiles.
+    try:
+      jax.config.update("jax_compilation_cache_dir", cache)
+      jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # plugin may not support it; never fatal.
+      logging.warning("Compilation cache unavailable: %s", e)
   engine = build_engine(
       _AGENT.value, _ENVIRONMENT_NAME.value, _NUM_ENVS.value,
       _REPLAY_CAPACITY.value, _BATCH_SIZE.value, _REPLAY_RATIO_MODE.value,
@@ -261,10 +284,13 @@ def main(argv):
   checkpoint = (OrbaxCheckpoint(_CHECKPOINT_PATH.value)
                 if _CHECKPOINT_PATH.value else NullCheckpoint())
 
+  import time
+
   rng = jax.random.PRNGKey(_SEED.value)
   rng, init_key = jax.random.split(rng)
   state = engine.init(init_key)
   iteration = 0
+  train_done = 0  # supersteps already finished inside `iteration`'s train
 
   def strip(s):
     # None is an empty pytree subtree: orbax skips it on save and restore,
@@ -273,11 +299,44 @@ def main(argv):
 
   if checkpoint.can_be_restored():
     logging.info("Restoring checkpoint.")
-    restored, iteration, writer_state = checkpoint.restore(strip(state))
+    restored, iteration, writer_state, train_done = checkpoint.restore(
+        strip(state))
     if not _CHECKPOINT_REPLAY.value:
       restored = restored._replace(replay=state.replay)
     state = restored
     writer.set_state(writer_state)
+    logging.info("Restored at iteration=%d train_done=%d.",
+                 iteration, train_done)
+
+  # --- lease-budget machinery. The hosted runtime defers execution: jitted
+  # calls return before the device runs them, so wall-clock control needs a
+  # real host fetch (fence) at chunk boundaries. The claim clock starts at
+  # the first successful fetch (claims themselves can wedge for minutes).
+  t_claim = [None]
+
+  def fence(s) -> int:
+    v = int(jax.device_get(s.env_frames))
+    if t_claim[0] is None:
+      t_claim[0] = time.monotonic()
+      logging.info("Device claimed (first fetch done).")
+    return v
+
+  def elapsed() -> float:
+    return 0.0 if t_claim[0] is None else time.monotonic() - t_claim[0]
+
+  def over_budget() -> bool:
+    return bool(_MAX_RUN_SECONDS.value) and elapsed() > _MAX_RUN_SECONDS.value
+
+  last_save = [time.monotonic()]
+
+  def do_save(st, it, td):
+    t = time.monotonic()
+    checkpoint.save(strip(st), it, writer.get_state(), train_done=td)
+    last_save[0] = time.monotonic()
+    logging.info("Checkpoint saved (iteration=%d, train_done=%d) in %.1fs.",
+                 it, td, last_save[0] - t)
+
+  fence(state)  # force init/restore now; starts the claim clock.
 
   b = engine.config.num_envs
   frames_per_superstep = 4 * b
@@ -311,24 +370,51 @@ def main(argv):
     return _eval_chunks[k](params, estate)
 
   run_iterations = 0
+  aborted = False
   while iteration <= _NUM_ITERATIONS.value:
     if _ITERATIONS_PER_RUN.value and run_iterations >= \
         _ITERATIONS_PER_RUN.value:
       logging.info("iterations_per_run reached; exiting for resume.")
       break
+    if over_budget():
+      logging.info("max_run_seconds reached; exiting for resume.")
+      break
     run_iterations += 1
     # --- train phase (iteration 0 is eval-only, ref run_atari.py:254-255)
     logging.info("Training iteration %d.", iteration)
-    state = engine.reset_telemetry(state)
+    n = 0 if iteration == 0 else train_supersteps
+    done = min(train_done, n)
+    train_done = 0
+    if done == 0:
+      # A mid-iteration resume keeps the restored telemetry (the phase
+      # already started in a previous process).
+      state = engine.reset_telemetry(state)
+    elif done < n:
+      logging.info("Resuming train phase at superstep %d/%d.", done, n)
     rate = StepRateTracker()
     rate.update(0)
-    frames_before = int(state.env_frames)
-    n = 0 if iteration == 0 else train_supersteps
-    done = 0
+    frames_before = fence(state)
     while done < n:
       k = min(100, n - done)
       state = train_chunk(k, state)
       done += k
+      fence(state)
+      if done < n and _SAVE_INTERVAL_SECONDS.value and \
+          time.monotonic() - last_save[0] > _SAVE_INTERVAL_SECONDS.value:
+        do_save(state, iteration, done)
+      if done < n and over_budget():
+        logging.info("max_run_seconds hit mid-train; saving and exiting.")
+        do_save(state, iteration, done)
+        aborted = True
+        break
+    if aborted:
+      break
+    if n and over_budget():
+      # Train finished but no budget left for eval: bank the train phase
+      # (train_done=n → the next process goes straight to eval).
+      logging.info("max_run_seconds hit post-train; saving and exiting.")
+      do_save(state, iteration, n)
+      break
     train_m = jax.device_get(engine.metrics(state))
     rate.update(int(train_m.env_frames) - frames_before)
     train_rate = rate.get()["step_rate"] if n else float("nan")
@@ -384,9 +470,9 @@ def main(argv):
     iteration += 1
     exiting = (_ITERATIONS_PER_RUN.value
                and run_iterations >= _ITERATIONS_PER_RUN.value) \
-        or iteration > _NUM_ITERATIONS.value
+        or iteration > _NUM_ITERATIONS.value or over_budget()
     if exiting or iteration % _CHECKPOINT_PERIOD.value == 0:
-      checkpoint.save(strip(state), iteration, writer.get_state())
+      do_save(state, iteration, 0)
 
   writer.close()
 

@@ -33,7 +33,7 @@ def test_atari_57_name_registry():
 
 def test_unknown_atari_name_points_to_ale_hook():
   with pytest.raises(KeyError, match="ALE backend"):
-    api.get_game("ms_pacman")
+    api.get_game("zaxxon")
   with pytest.raises(KeyError, match="Unknown game"):
     api.get_game("not_a_cartridge")
 
@@ -43,7 +43,7 @@ def test_farm_unknown_game_contract():
   fails loudly at construction — same contract the ALE build uses for a
   missing ROM."""
   with pytest.raises(ValueError, match="unknown game"):
-    CppVectorEnv("ms_pacman", batch_size=2)
+    CppVectorEnv("zaxxon", batch_size=2)
 
 
 def _ale_available():

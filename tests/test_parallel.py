@@ -98,7 +98,7 @@ def test_checkpoint_roundtrip_sharded(tmp_path):
   assert ckpt.can_be_restored()
 
   template = trainer.init(jax.random.PRNGKey(7))  # different values
-  restored, iteration, _ = ckpt.restore(template)
+  restored, iteration, _, _ = ckpt.restore(template)
   assert iteration == 3
   # Shardings survive the round-trip.
   want = jax.tree_util.tree_leaves(dstate.per_device)[0].sharding

@@ -171,3 +171,52 @@ def test_cli_checkpoint_split_resume(tmp_path):
   # frames advance across processes: env_frames persisted in the checkpoint
   assert float(rows[2]["train_exploration_epsilon"]) <= float(
       rows[1]["train_exploration_epsilon"])
+
+
+def test_cli_mid_train_budget_resume(tmp_path):
+  """Lease-budget workflow: with --max_run_seconds tiny, each process makes
+  only chunk-level progress, saving MID-iteration (train_done in meta) and
+  resuming exactly where the previous leg stopped. Models the hosted
+  runtime's ~5-min lease that killed the round-3 breakout chain 5/5 inside
+  its first train phase (VERDICT.md round 3)."""
+  import numpy as np
+  csv_path = str(tmp_path / "results.csv")
+  ckpt_path = str(tmp_path / "ckpt")
+  env = dict(os.environ)
+  env["JAX_PLATFORMS"] = "cpu"
+  env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+  env["PALLAS_AXON_POOL_IPS"] = ""
+  env["PYTHONPATH"] = os.pathsep.join(
+      [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+      + env.get("PYTHONPATH", "").split(os.pathsep))
+  code = (
+      "import jax; jax.config.update('jax_platforms','cpu');"
+      "from absl import app; from dqn_zoo_tpu.run import train;"
+      "import sys; app.run(train.main)")
+  # 3200 frames at B=4 → 200 supersteps → 2 chunks of 100: at least one
+  # leg must stop mid-iteration between the chunks.
+  args = [
+      sys.executable, "-c", code,
+      "--agent=dqn", "--environment_name=catch", "--num_envs=4",
+      "--replay_capacity=256", "--num_iterations=1",
+      "--num_train_frames=3200", "--num_eval_frames=200",
+      "--max_frames_per_episode=1000", "--batch_size=8",
+      "--eval_num_envs=4", f"--results_csv_path={csv_path}",
+      f"--checkpoint_path={ckpt_path}", "--max_run_seconds=1",
+      "--checkpoint_replay=false", "--checkpoint_period=1"]
+  saw_mid_train = False
+  for leg in range(10):
+    proc = subprocess.run(args, capture_output=True, text=True, env=env,
+                          timeout=540)
+    assert proc.returncode == 0, f"leg {leg}: {proc.stderr[-3000:]}"
+    meta = np.load(os.path.join(ckpt_path, "meta.npz"), allow_pickle=True)
+    if int(meta["train_done"]) > 0:
+      saw_mid_train = True
+    with open(csv_path) as f:
+      rows = list(csv.DictReader(f))
+    if [r["iteration"] for r in rows] == ["0", "1"]:
+      break
+  else:
+    raise AssertionError("chain never finished in 10 legs")
+  assert saw_mid_train, "no leg ever checkpointed mid-train"
+  assert len(rows) == 2  # no duplicate rows despite many restarts

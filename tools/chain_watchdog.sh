@@ -4,20 +4,22 @@
 # process's lease teardown overlaps its startup — observed repeatedly on
 # 2026-08-20, always on the run FOLLOWING a long-compile run). The wedge
 # signature is: no new log output AND ~zero CPU for minutes. Recovery is
-# mechanical — kill that exact PID; chain_train.sh's loop relaunches and the
-# checkpoint resume loses nothing. This script automates that.
+# mechanical — kill that exact PID (from the chain's pidfile, never a
+# pattern match); chain_train.sh's loop relaunches and the checkpoint
+# resume loses nothing. This script automates that.
 #
-# Usage: chain_watchdog.sh <chain_log> [stale_secs]
+# Usage: chain_watchdog.sh <chain_log> [stale_secs] [pidfile]
 set -u
 LOG=${1:?log path}
 # Must exceed the longest legitimate silence: a fresh remote compile of the
 # donated superstep program runs ~6.5 quiet minutes. 10 min default.
 STALE=${2:-600}
+PIDFILE=${3:-/tmp/chain_train.pid}
 while true; do
   sleep 60
-  pgrep -f "tools/chain_train.sh" > /dev/null || break
-  PID=$(pgrep -f "dqn_zoo_tpu.run.train" | head -1)
+  PID=$(cat "$PIDFILE" 2>/dev/null || true)
   [ -z "${PID:-}" ] && continue
+  kill -0 "$PID" 2>/dev/null || continue
   AGE=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || echo 0) ))
   if [ "$AGE" -gt "$STALE" ]; then
     # Confirm ~zero CPU over 20s before declaring a wedge (a remote compile
