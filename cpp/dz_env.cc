@@ -979,10 +979,13 @@ class Boxing : public Game {
     draw_rect(o, 182, 184, 24, 140, 150);
     float pr = p_punch_ > 0 ? 14.0f : 3.0f;
     float er = e_punch_ > 0 ? 14.0f : 3.0f;
+    // draw_rect max-blends, so the enemy must sit ABOVE the mat's 90 to be
+    // visible (the JAX renderer overwrites, so its dark-on-light enemy is
+    // fine; a luma-20 enemy here would vanish into the mat entirely).
     draw_rect(o, py_ + 6, py_ + 10, px_ + 8, px_ + 8 + pr, 200);
-    draw_rect(o, ey_ + 6, ey_ + 10, ex_ - er, ex_, 40);
+    draw_rect(o, ey_ + 6, ey_ + 10, ex_ - er, ex_, 160);
     draw_rect(o, py_, py_ + 22, px_, px_ + 8, 252);
-    draw_rect(o, ey_, ey_ + 22, ex_, ex_ + 8, 20);
+    draw_rect(o, ey_, ey_ + 22, ex_, ex_ + 8, 180);
     draw_rect(o, 16, 22, 16, 16.0f + std::min(p_hits_, 64), 252);
     draw_rect(o, 16, 22, 144.0f - std::min(e_hits_, 64), 144, 30);
   }
@@ -1003,7 +1006,7 @@ class Enduro : public Game {
     px_ = 76.0f;
     speed_ = 0.8f;
     passed_ = frame_ = 0;
-    for (int i = 0; i < kCars; ++i) respawn(i, rng);
+    for (int i = 0; i < kCars; ++i) respawn(i, rng, /*initial=*/true);
   }
 
   float step(int action, Rng& rng, bool* done, bool* life_lost) override {
@@ -1064,8 +1067,10 @@ class Enduro : public Game {
  private:
   static constexpr int kCars = 6;
   static constexpr float kLaneX[3] = {52.0f, 76.0f, 100.0f};
-  void respawn(int i, Rng& rng) {
-    z_[i] = rng.uniform(240.0f, 400.0f);
+  // JAX enduro_init spawns the initial field at [0.5, 1.0]·SPAWN_AHEAD and
+  // recycles at [0.6, 1.0]·SPAWN_AHEAD; mirror both bands.
+  void respawn(int i, Rng& rng, bool initial = false) {
+    z_[i] = rng.uniform(initial ? 200.0f : 240.0f, 400.0f);
     lane_[i] = rng.randint(0, 3);
   }
   float px_, speed_, z_[kCars];
@@ -1102,6 +1107,13 @@ class MsPacman : public Game {
     int prim = kPrim[action], sec = kSec[action];
     if (prim != 4) want_ = prim;
     float reward = 0.0f;
+    // Pre-move positions, for swapped-cell contact detection (the JAX game
+    // treats player↔ghost cell swaps in one tick as contact; when
+    // frightened both move on frames ≡ 4 mod 6, so pass-throughs happen).
+    int old_pr = pr_, old_pc = pc_;
+    int old_gr[4], old_gc[4];
+    for (int g = 0; g < 4; ++g) { old_gr[g] = gr_[g]; old_gc[g] = gc_[g]; }
+    bool ate_power = false;
 
     if (frame_ % 2 == 0) {  // player phase
       int d = 4;
@@ -1119,9 +1131,12 @@ class MsPacman : public Game {
         reward += 50.0f;
         fright_ = 360;
         combo_ = 0;
+        ate_power = true;
       }
     }
-    if (fright_ > 0) --fright_;
+    // The eat frame keeps the full 360 (JAX: where(ate_power, POWER_FRAMES,
+    // max(fright-1, 0)) skips the decrement that step).
+    if (fright_ > 0 && !ate_power) --fright_;
 
     int period = fright_ > 0 ? 3 : 2;
     if (frame_ % period == 1) {  // ghost phase
@@ -1154,7 +1169,10 @@ class MsPacman : public Game {
 
     bool died = false;
     for (int g = 0; g < 4; ++g) {
-      if (gr_[g] != pr_ || gc_[g] != pc_) continue;
+      bool same = gr_[g] == pr_ && gc_[g] == pc_;
+      bool swapped = gr_[g] == old_pr && gc_[g] == old_pc &&
+                     old_gr[g] == pr_ && old_gc[g] == pc_;
+      if (!same && !swapped) continue;
       if (fright_ > 0) {
         reward += 200.0f * float(1 << combo_);
         ++combo_;
@@ -1199,8 +1217,10 @@ class MsPacman : public Game {
         else if (power_[r][c]) cell(r, c, 190);
         else if (pellet_[r][c]) cell(r, c, 110);
       }
+    // Frightened luma must exceed the power pellet's 190 (max-blend: a 140
+    // ghost standing on an uneaten power cell would be invisible).
     for (int g = 0; g < 4; ++g)
-      cell(gr_[g], gc_[g], fright_ > 0 ? 140 : uint8_t(160 + 20 * g));
+      cell(gr_[g], gc_[g], fright_ > 0 ? 240 : uint8_t(160 + 20 * g));
     cell(pr_, pc_, 252);
     draw_rect(o, 200, 206, 8, 8.0f + 10 * lives_, 252);
   }

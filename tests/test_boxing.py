@@ -116,3 +116,19 @@ def test_random_play_nets_about_zero():
     total += float(np.asarray(out.raw_reward_sum).sum())
   per_episode = total / 16 * (bx.EPISODE_FRAMES / (steps * 4))
   assert -8.0 < per_episode < 8.0
+
+
+def test_farm_enemy_visible_in_observation():
+  """The farm's draw_rect max-blends, so the enemy must be drawn ABOVE the
+  mat luma to appear at all (round-3 advisor finding: a luma-20 enemy over
+  the luma-90 mat rendered the opponent completely invisible — the game's
+  scoring depends on range/timing play against it)."""
+  from dqn_zoo_tpu.envs.cpp_bridge import CppVectorEnv
+  env = CppVectorEnv("boxing", batch_size=2, seed=0, num_threads=1)
+  out = env.step(np.zeros(2, np.int32))
+  # Enemy starts at x≈104-112, y≈89-143 (210x160 world) → a bright block
+  # near cols 45-65 / rows 33-60 of the 84x84 frame; the mat there is 90
+  # and the ropes (150) lie outside this window.
+  window = out.obs84[:, 33:60, 45:65]
+  assert (window.max(axis=(1, 2)) >= 140).all(), window.max(axis=(1, 2))
+  env.close()

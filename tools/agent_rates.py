@@ -25,6 +25,17 @@ def main():
   agents = sys.argv[1:] or ["dqn", "qrdqn", "iqn"]
   from bench import force
   from dqn_zoo_tpu.run.train import build_engine
+  # CLAUDE.md benchmarking rules: the FIRST measured config in a process
+  # carries one-time runtime-init bias. Burn a small throwaway config (its
+  # number is discarded) before the measured loop.
+  warm = build_engine(agents[0], "pong", 64, replay_capacity=64 * 64,
+                      num_iterations=200, num_train_frames=10**6)
+  wstate = warm.init(jax.random.PRNGKey(1))
+  wrun = jax.jit(functools.partial(warm.run, num_supersteps=10))
+  for _ in range(3):
+    wstate = wrun(wstate)
+  force(wstate)
+  del warm, wstate, wrun
   for agent in agents:
     t_start = time.time()
     eng = build_engine(agent, "pong", 256, replay_capacity=256 * 256,
