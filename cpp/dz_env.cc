@@ -1257,6 +1257,265 @@ class MsPacman : public Game {
   int fright_, combo_, lives_, frame_;
 };
 
+
+// --------------------------------------------------------------- qbert ----
+// Same dynamics as the JAX-native game (games/qbert.py): 7-row cube
+// pyramid, diagonal hops every 16 frames, +25 per newly colored cube,
+// +1000 board bonus, Coily chase + red ball, 4 lives, falls cost a life.
+class Qbert : public Game {
+ public:
+  int num_actions() const override { return 6; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    (void)rng;
+    for (int r = 0; r < 7; ++r)
+      for (int c = 0; c < 7; ++c) colored_[r][c] = false;
+    pr_ = pc_ = 0;
+    cr_ = br_ = -1;
+    cc_ = bc_ = 0;
+    lives_ = 4;
+    freeze_ = frame_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    ++frame_;
+    bool frozen = freeze_ > 0;
+    if (freeze_ > 0) --freeze_;
+    float reward = 0.0f;
+
+    if (frame_ == 1 && !colored_[0][0]) {  // spawn cube scores
+      colored_[0][0] = true;
+      reward += 25.0f;
+    }
+
+    // Player hop: UP(2)=up-right, RIGHT(3)=down-right, LEFT(4)=up-left,
+    // DOWN(5)=down-left.
+    static const int kDr[6] = {0, 0, -1, 1, -1, 1};
+    static const int kDc[6] = {0, 0, 0, 1, -1, 0};
+    bool fell = false;
+    if (!frozen && frame_ % 16 == 0 && kDr[action] != 0) {
+      int tr = pr_ + kDr[action], tc = pc_ + kDc[action];
+      if (tr >= 0 && tr < 7 && tc >= 0 && tc <= tr) {
+        pr_ = tr;
+        pc_ = tc;
+        if (!colored_[pr_][pc_]) { colored_[pr_][pc_] = true; reward += 25.0f; }
+      } else {
+        fell = true;
+      }
+    }
+
+    // Board complete -> bonus + refresh.
+    bool complete = true;
+    for (int r = 0; r < 7 && complete; ++r)
+      for (int c = 0; c <= r; ++c)
+        if (!colored_[r][c]) { complete = false; break; }
+    if (complete) {
+      reward += 1000.0f;
+      for (int r = 0; r < 7; ++r)
+        for (int c = 0; c < 7; ++c) colored_[r][c] = false;
+    }
+
+    // Red ball: spawn near the apex, bounce down, roll off the bottom.
+    bool spawned_ball = false;
+    if (br_ < 0 && frame_ % 280 == 0 && !frozen) {
+      br_ = 1;
+      bc_ = rng.bernoulli() ? 1 : 0;
+      spawned_ball = true;
+    }
+    if (br_ >= 0 && frame_ % 18 == 0 && !frozen && !spawned_ball) {
+      ++br_;
+      bc_ += rng.bernoulli() ? 1 : 0;
+      if (br_ >= 7) br_ = -1;
+    }
+
+    // Coily: hatch then greedy-chase the player.
+    bool hatched = false;
+    if (cr_ < 0 && frame_ > 140 && !frozen) {
+      cr_ = cc_ = 0;
+      hatched = true;
+    }
+    if (cr_ >= 0 && frame_ % 20 == 0 && !frozen && !hatched) {
+      static const int hr[4] = {-1, -1, 1, 1};
+      static const int hc[4] = {-1, 0, 0, 1};
+      int best = -1;
+      float best_d = 1e9f;
+      for (int k = 0; k < 4; ++k) {
+        int tr = cr_ + hr[k], tc = cc_ + hc[k];
+        if (!(tr >= 0 && tr < 7 && tc >= 0 && tc <= tr)) continue;
+        float dd = std::abs(tr - pr_) + std::abs(tc - pc_)
+            + rng.uniform(0.0f, 0.3f);
+        if (dd < best_d) { best_d = dd; best = k; }
+      }
+      if (best >= 0) { cr_ += hr[best]; cc_ += hc[best]; }
+    }
+
+    bool caught = cr_ >= 0 && cr_ == pr_ && cc_ == pc_ && !frozen;
+    bool balled = br_ >= 0 && br_ == pr_ && bc_ == pc_ && !frozen;
+    bool died = fell || caught || balled;
+    if (died) {
+      --lives_;
+      pr_ = pc_ = 0;
+      cr_ = br_ = -1;
+      freeze_ = 30;
+      if (lives_ > 0 && !colored_[0][0]) {  // respawn scores a fresh apex
+        colored_[0][0] = true;
+        reward += 25.0f;
+      }
+    }
+    *done = lives_ <= 0 || frame_ >= 20000;
+    *life_lost = died && !*done;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    for (int r = 0; r < 7; ++r)
+      for (int c = 0; c <= r; ++c) {
+        float x = 80.0f + (2.0f * c - r) * 11.0f - 11.0f;
+        float y = 38.0f + r * 24.0f;
+        draw_rect(o, y, y + 11, x, x + 22, colored_[r][c] ? 180 : 95);
+        draw_rect(o, y + 11, y + 19, x + 3, x + 19, 60);
+      }
+    auto blob = [&](int r, int c, float w, float h, float dy, uint8_t v) {
+      float x = 80.0f + (2.0f * c - r) * 11.0f - 11.0f + 11.0f - w / 2;
+      float y = 38.0f + r * 24.0f + dy;
+      draw_rect(o, y, y + h, x, x + w, v);
+    };
+    if (br_ >= 0) blob(br_, bc_, 6, 6, -6, 130);
+    if (cr_ >= 0) blob(cr_, cc_, 8, 12, -12, 150);
+    blob(pr_, pc_, 8, 10, -10, 240);
+    draw_rect(o, 200, 206, 8, 8.0f + 10 * lives_, 240);
+  }
+
+ private:
+  bool colored_[7][7];
+  int pr_, pc_, cr_, cc_, br_, bc_, lives_, freeze_, frame_;
+};
+
+// -------------------------------------------------------------- zaxxon ----
+// Same dynamics as the JAX-native game (games/zaxxon.py): scrolling
+// fortress, walls with a gap, 4 enemy slots (drones +50 / turrets +100),
+// one limited-range shot, 3 lives.
+class Zaxxon : public Game {
+ public:
+  int num_actions() const override { return 18; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    ship_y_ = 110.0f;
+    shot_x_ = -1.0f;
+    shot_y_ = 0.0f;
+    for (int i = 0; i < 4; ++i) spawn(i, rng, 120.0f + 90.0f * i);
+    wall_x_ = 300.0f;
+    gap_y_ = rng.uniform(62.0f, 162.0f);
+    lives_ = 3;
+    freeze_ = frame_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    ++frame_;
+    bool frozen = freeze_ > 0;
+    if (freeze_ > 0) --freeze_;
+
+    static const bool kUp[18] = {0, 0, 1, 0, 0, 0, 1, 1, 0, 0,
+                                 1, 0, 0, 0, 1, 1, 0, 0};
+    static const bool kDown[18] = {0, 0, 0, 0, 0, 1, 0, 0, 1, 1,
+                                   0, 0, 0, 1, 0, 0, 1, 1};
+    static const bool kFire[18] = {0, 1, 0, 0, 0, 0, 0, 0, 0, 0,
+                                   1, 1, 1, 1, 1, 1, 1, 1};
+    if (!frozen) {
+      if (kUp[action]) ship_y_ -= 2.5f;
+      if (kDown[action]) ship_y_ += 2.5f;
+    }
+    ship_y_ = std::clamp(ship_y_, 44.0f, 180.0f);
+
+    bool shot_live = shot_x_ >= 0;
+    if (kFire[action] && !shot_live && !frozen) {
+      shot_x_ = 28.0f + 14.0f;
+      shot_y_ = ship_y_ + 4.0f;
+    } else if (shot_live) {
+      shot_x_ += 6.0f;
+    }
+    if (shot_x_ > 140.0f) shot_x_ = -1.0f;  // limited range (JAX parity)
+
+    float scroll = frozen ? 0.0f : 2.0f;
+    for (int i = 0; i < 4; ++i) ex_[i] -= scroll;
+    wall_x_ -= scroll;
+
+    float reward = 0.0f;
+    if (shot_x_ >= 0) {
+      for (int i = 0; i < 4; ++i) {
+        if (!alive_[i]) continue;
+        if (shot_x_ + 2 >= ex_[i] && shot_x_ <= ex_[i] + 10 &&
+            shot_y_ + 2 >= ey_[i] && shot_y_ <= ey_[i] + 8) {
+          reward += turret_[i] ? 100.0f : 50.0f;
+          alive_[i] = false;
+          shot_x_ = -1.0f;
+          break;  // one shot, one kill
+        }
+      }
+    }
+
+    for (int i = 0; i < 4; ++i)
+      if (!alive_[i] || ex_[i] < -10.0f) {
+        spawn(i, rng, 220.0f);
+        alive_[i] = true;
+      }
+
+    if (wall_x_ < -6.0f) {
+      gap_y_ = rng.uniform(62.0f, 162.0f);
+      wall_x_ += 360.0f;
+    }
+
+    bool wall_overlap = wall_x_ <= 28.0f + 14.0f && wall_x_ + 6.0f >= 28.0f;
+    bool in_gap = ship_y_ >= gap_y_ - 18.0f && ship_y_ + 8.0f <= gap_y_ + 18.0f;
+    bool died = wall_overlap && !in_gap && !frozen;
+    for (int i = 0; i < 4 && !died; ++i)
+      died = alive_[i] && ex_[i] <= 42.0f && ex_[i] + 10.0f >= 28.0f &&
+             ey_[i] <= ship_y_ + 8.0f && ey_[i] + 8.0f >= ship_y_ && !frozen;
+    if (died) {
+      --lives_;
+      ship_y_ = 110.0f;
+      wall_x_ += 360.0f;
+      for (int i = 0; i < 4; ++i)
+        if (ex_[i] < 120.0f) ex_[i] += 200.0f;
+      freeze_ = 40;
+      shot_x_ = -1.0f;
+    }
+    *done = lives_ <= 0 || frame_ >= 15000;
+    *life_lost = died && !*done;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 182, 210, 0, 160, 70);  // ground
+    draw_rect(o, 36, gap_y_ - 18.0f, wall_x_, wall_x_ + 6, 150);
+    draw_rect(o, gap_y_ + 18.0f, 182, wall_x_, wall_x_ + 6, 150);
+    for (int i = 0; i < 4; ++i)
+      if (alive_[i])
+        draw_rect(o, ey_[i], ey_[i] + 8, ex_[i], ex_[i] + 10,
+                  turret_[i] ? 120 : 170);
+    if (shot_x_ >= 0) draw_rect(o, shot_y_, shot_y_ + 2, shot_x_,
+                                shot_x_ + 4, 230);
+    draw_rect(o, ship_y_, ship_y_ + 8, 28, 42, 250);
+    draw_rect(o, 200, 206, 8, 8.0f + 10 * lives_, 250);
+  }
+
+ private:
+  void spawn(int i, Rng& rng, float x_base) {
+    turret_[i] = rng.uniform(0.0f, 1.0f) < 0.4f;
+    ex_[i] = x_base + rng.uniform(0.0f, 140.0f);
+    ey_[i] = turret_[i] ? 172.0f : rng.uniform(44.0f, 150.0f);
+  }
+  float ship_y_, shot_x_, shot_y_, ex_[4], ey_[4], wall_x_, gap_y_;
+  bool turret_[4], alive_[4];
+  int lives_, freeze_, frame_;
+};
+
 #ifdef DZ_WITH_ALE
 // ------------------------------------------------------------ ALE hook ----
 // Full-fidelity backend for all 57 cartridges (parity with the reference's
@@ -1338,6 +1597,8 @@ std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "boxing") return std::make_unique<Boxing>();
   if (name == "enduro") return std::make_unique<Enduro>();
   if (name == "ms_pacman") return std::make_unique<MsPacman>();
+  if (name == "qbert") return std::make_unique<Qbert>();
+  if (name == "zaxxon") return std::make_unique<Zaxxon>();
 #ifdef DZ_WITH_ALE
   try {
     return std::make_unique<AleGame>(name);

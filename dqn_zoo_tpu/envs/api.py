@@ -74,8 +74,10 @@ def get_game(name: str) -> Game:
                                       boxing, breakout, catch,  # noqa: F401
                                       enduro, freeway,  # noqa: F401
                                       ms_pacman, pong,  # noqa: F401
-                                      seaquest, skiing,  # noqa: F401
-                                      space_invaders)  # noqa: F401
+                                      qbert, seaquest,  # noqa: F401
+                                      skiing,  # noqa: F401
+                                      space_invaders,  # noqa: F401
+                                      zaxxon)  # noqa: F401
   if name not in _REGISTRY:
     from dqn_zoo_tpu.run.atari_data import ATARI_GAMES
     if name in ATARI_GAMES:

@@ -63,16 +63,26 @@ class VectorAtariEnv:
   # --- single-env logic (vmapped below) ------------------------------------
 
   def _reset_one(self, key):
-    """New episode state after 1..max_noops noop raw frames."""
+    """New episode state after 1..max_noops noop raw frames.
+
+    If an episode terminates DURING the burn, the state freezes at the last
+    pre-done frame instead of silently stepping a finished game — the
+    reference raises in that case (gym_atari.py:188-198) but inside jit we
+    can't; freezing keeps the two paths behaviorally aligned for every game
+    that (like the reference's cartridges) cannot finish in <30 frames,
+    and is well-defined for one that somehow can.
+    """
     key, k_init, k_noops = jax.random.split(key, 3)
     gs = self.game.init(k_init)
     n = jax.random.randint(k_noops, (), 1, self.config.max_noops + 1)
 
-    def body(_, g):
-      g2, _, _, _ = self.game.step(g, jnp.asarray(self.config.noop_action))
-      return g2
+    def body(_, carry):
+      g, done = carry
+      g2, _, d2, _ = self.game.step(g, jnp.asarray(self.config.noop_action))
+      g2 = jax.tree.map(lambda a, b: jnp.where(done, a, b), g, g2)
+      return g2, done | d2
 
-    gs = jax.lax.fori_loop(0, n, body, gs)
+    gs, _ = jax.lax.fori_loop(0, n, body, (gs, jnp.zeros((), jnp.bool_)))
     return key, gs
 
   def _step_one(self, gs, key, ep_frames, needs_reset, action):

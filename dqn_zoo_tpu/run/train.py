@@ -408,14 +408,14 @@ def main(argv):
       state = train_chunk(k, state)
       done += k
       fence(state)
-      if done < n and _SAVE_INTERVAL_SECONDS.value and \
-          time.monotonic() - last_save[0] > _SAVE_INTERVAL_SECONDS.value:
-        do_save(state, iteration, done)
       if done < n and over_budget():
         logging.info("max_run_seconds hit mid-train; saving and exiting.")
         do_save(state, iteration, done)
         aborted = True
         break
+      if done < n and _SAVE_INTERVAL_SECONDS.value and \
+          time.monotonic() - last_save[0] > _SAVE_INTERVAL_SECONDS.value:
+        do_save(state, iteration, done)
     if aborted:
       break
     if n and over_budget():

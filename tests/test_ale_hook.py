@@ -34,7 +34,7 @@ def test_atari_57_name_registry():
 
 def test_unknown_atari_name_points_to_ale_hook():
   with pytest.raises(KeyError, match="ALE backend"):
-    api.get_game("zaxxon")
+    api.get_game("krull")
   with pytest.raises(KeyError, match="Unknown game"):
     api.get_game("not_a_cartridge")
 
@@ -44,7 +44,7 @@ def test_farm_unknown_game_contract():
   fails loudly at construction — same contract the ALE build uses for a
   missing ROM."""
   with pytest.raises(ValueError, match="unknown game"):
-    CppVectorEnv("zaxxon", batch_size=2)
+    CppVectorEnv("krull", batch_size=2)
 
 
 def _ale_available():
@@ -171,7 +171,7 @@ using ale::ALEInterface;
 import numpy as np
 from dqn_zoo_tpu.envs.cpp_bridge import CppVectorEnv
 
-e = CppVectorEnv("zaxxon", batch_size=4, seed=0, num_threads=1)
+e = CppVectorEnv("krull", batch_size=4, seed=0, num_threads=1)
 assert e.num_actions == 4, e.num_actions  # minimal action set size
 
 out = e.step(np.zeros(4, np.int32))

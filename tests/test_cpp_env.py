@@ -179,3 +179,32 @@ def test_round3b_games_protocol_and_scoring():
     total += float(np.sum(out.reward_sum))
   env.close()
   assert total > 0
+
+
+def test_round4_games_protocol_and_scoring():
+  """qbert / zaxxon in the farm: action-set sizes match the JAX games and
+  their reward channels are live (same strategy as the round-3 tests)."""
+  rng = np.random.RandomState(0)
+
+  # qbert: random hops color cubes — positive score (spawn cube + hops).
+  env = CppVectorEnv("qbert", batch_size=4, seed=8)
+  assert env.num_actions == 6
+  total = 0.0
+  lasts = 0
+  for _ in range(400):
+    out = env.step(rng.randint(0, 6, 4).astype(np.int32))
+    total += float(np.sum(out.reward_sum))
+    lasts += int(np.sum(out.is_last))
+  env.close()
+  assert total > 0
+  assert lasts > 0  # random play falls off and exhausts 4 lives
+
+  # zaxxon: constant FIRE while holding center kills some drones.
+  env = CppVectorEnv("zaxxon", batch_size=8, seed=9)
+  assert env.num_actions == 18
+  total = 0.0
+  for _ in range(500):
+    out = env.step(np.ones((8,), np.int32))  # FIRE
+    total += float(np.sum(out.reward_sum))
+  env.close()
+  assert total > 0
