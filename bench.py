@@ -71,6 +71,14 @@ def main():
   p.add_argument("--agent", default="rainbow")
   p.add_argument("--game", default="pong")
   p.add_argument("--num_envs", type=int, default=256)
+  p.add_argument("--json-out", default="",
+                 help="Also append this run's record to a JSON-lines file "
+                      "(tools/bench_all.sh aggregates per-agent artifacts "
+                      "so regressions in any agent are caught mechanically, "
+                      "VERDICT r3 weak #7).")
+  p.add_argument("--no-baseline", action="store_true",
+                 help="Skip the single-stream baseline measurement "
+                      "(vs_baseline=null); saves ~1 min of lease per run.")
   args = p.parse_args()
 
   from dqn_zoo_tpu.run.train import build_engine
@@ -89,6 +97,20 @@ def main():
   rate, state = steady_rate(run, state, chunks, chunk, args.num_envs)
 
   # --- baseline: reference-style single-stream, per-step dispatch ---------
+  if args.no_baseline:
+    record = {
+        "metric": f"env-steps/s/chip ({args.agent}/{args.game}, "
+                  f"B={args.num_envs}, full train loop)",
+        "value": round(rate, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": None,
+    }
+    if args.json_out:
+      with open(args.json_out, "a") as f:
+        f.write(json.dumps(dict(record, agent=args.agent)) + "\n")
+    print(json.dumps(record))
+    return 0
+
   beng = build_engine(args.agent, args.game, 1, replay_capacity=2048,
                       replay_ratio_mode="parity",
                       num_iterations=200, num_train_frames=10**6)
@@ -113,13 +135,17 @@ def main():
   force(bstate)
   base_rate = n_base / (time.time() - t0)
 
-  print(json.dumps({
+  record = {
       "metric": f"env-steps/s/chip ({args.agent}/{args.game}, "
                 f"B={args.num_envs}, full train loop)",
       "value": round(rate, 1),
       "unit": "env-steps/s",
       "vs_baseline": round(rate / base_rate, 1),
-  }))
+  }
+  if args.json_out:
+    with open(args.json_out, "a") as f:
+      f.write(json.dumps(dict(record, agent=args.agent)) + "\n")
+  print(json.dumps(record))
   return 0
 
 

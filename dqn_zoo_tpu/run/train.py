@@ -297,7 +297,26 @@ def main(argv):
 
   rng = jax.random.PRNGKey(_SEED.value)
   rng, init_key = jax.random.split(rng)
+
+  # --- lease-budget machinery. The hosted runtime defers execution: jitted
+  # calls return before the device runs them, so wall-clock control needs a
+  # real host fetch (fence) at chunk boundaries. The claim clock starts at
+  # the first successful fetch (claims themselves can wedge for minutes).
+  t_claim = [None]
+
+  def fence(s) -> int:
+    v = int(jax.device_get(s.env_frames))
+    if t_claim[0] is None:
+      t_claim[0] = time.monotonic()
+      logging.info("Device claimed (first fetch done).")
+    return v
+
   state = engine.init(init_key)
+  # Materialize the (multi-GB) init graph BEFORE restoring: executing the
+  # deferred init pile and the orbax restore in one burst OOM'd the chip
+  # (leg-3 RESOURCE_EXHAUSTED at the post-restore fence); forced first, the
+  # restore only adds the ~100MB of non-replay leaves to a stable heap.
+  fence(state)
   iteration = 0
   train_done = 0  # supersteps already finished inside `iteration`'s train
 
@@ -317,19 +336,6 @@ def main(argv):
     logging.info("Restored at iteration=%d train_done=%d.",
                  iteration, train_done)
 
-  # --- lease-budget machinery. The hosted runtime defers execution: jitted
-  # calls return before the device runs them, so wall-clock control needs a
-  # real host fetch (fence) at chunk boundaries. The claim clock starts at
-  # the first successful fetch (claims themselves can wedge for minutes).
-  t_claim = [None]
-
-  def fence(s) -> int:
-    v = int(jax.device_get(s.env_frames))
-    if t_claim[0] is None:
-      t_claim[0] = time.monotonic()
-      logging.info("Device claimed (first fetch done).")
-    return v
-
   def elapsed() -> float:
     return 0.0 if t_claim[0] is None else time.monotonic() - t_claim[0]
 
@@ -345,7 +351,6 @@ def main(argv):
     logging.info("Checkpoint saved (iteration=%d, train_done=%d) in %.1fs.",
                  it, td, last_save[0] - t)
 
-  fence(state)  # force init/restore now; starts the claim clock.
 
   b = engine.config.num_envs
   frames_per_superstep = 4 * b
