@@ -76,6 +76,9 @@ def main():
                       "(tools/bench_all.sh aggregates per-agent artifacts "
                       "so regressions in any agent are caught mechanically, "
                       "VERDICT r3 weak #7).")
+  p.add_argument("--compute_dtype", default="",
+                 help="Override the agent's compute dtype (e.g. bfloat16) — "
+                      "the RESULTS.md roadmap's IQN bf16-head experiment.")
   p.add_argument("--no-baseline", action="store_true",
                  help="Skip the single-stream baseline measurement "
                       "(vs_baseline=null); saves ~1 min of lease per run.")
@@ -87,9 +90,12 @@ def main():
   chunks = 3 if args.smoke else 15
 
   # --- measured system: vectorized fused superstep ------------------------
+  overrides = {"compute_dtype": args.compute_dtype} \
+      if args.compute_dtype else None
   eng = build_engine(args.agent, args.game, args.num_envs,
                      replay_capacity=args.num_envs * 256,
-                     num_iterations=200, num_train_frames=10**6)
+                     num_iterations=200, num_train_frames=10**6,
+                     spec_overrides=overrides)
   state = eng.init(jax.random.PRNGKey(0))
   run = jax.jit(functools.partial(eng.run, num_supersteps=chunk))
   state = run(state)  # compile + replay warmup
