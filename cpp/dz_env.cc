@@ -1516,6 +1516,240 @@ class Zaxxon : public Game {
   int lives_, freeze_, frame_;
 };
 
+
+// ------------------------------------------------------------- bowling ----
+// Same dynamics as the JAX-native game (games/bowling.py): ten frames of
+// two rolls at a ten-pin triangle, one hook input per roll, +pins as they
+// fall, +10 strike / +5 spare paid at frame end.
+class Bowling : public Game {
+ public:
+  int num_actions() const override { return 6; }
+
+  void reset(Rng& rng) override {
+    (void)rng;
+    bowler_y_ = 110.0f;
+    ball_x_ = -1.0f;
+    ball_y_ = 110.0f;
+    ball_vy_ = 0.0f;
+    hooked_ = false;
+    for (int i = 0; i < 10; ++i) pins_[i] = true;
+    frame_no_ = roll_no_ = pins_frame_ = settle_ = frame_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    (void)rng;
+    *done = false;
+    *life_lost = false;
+    ++frame_;
+    bool settling = settle_ > 0;
+    if (settle_ > 0) --settle_;
+    bool rolling = ball_x_ >= 0;
+    bool up = action == 2, down = action == 5, fire = action == 1;
+
+    if (!rolling && !settling) {
+      if (up) bowler_y_ -= 2.0f;
+      if (down) bowler_y_ += 2.0f;
+      bowler_y_ = std::clamp(bowler_y_, 66.0f, 154.0f);
+    }
+    bool release = fire && !rolling && !settling;
+    if (release) {
+      ball_x_ = 34.0f;
+      ball_y_ = bowler_y_;
+      ball_vy_ = 0.0f;
+      hooked_ = false;
+    }
+    if ((up || down) && rolling && !hooked_) {
+      ball_vy_ = up ? -0.9f : 0.9f;
+      hooked_ = true;
+    }
+    bool moving = rolling || release;
+    if (moving) {
+      ball_x_ += 3.0f;
+      ball_y_ = std::clamp(ball_y_ + ball_vy_, 62.0f, 158.0f);
+    }
+
+    float reward = 0.0f;
+    int downed = 0;
+    if (moving) {
+      for (int i = 0; i < 10; ++i) {
+        if (!pins_[i]) continue;
+        float px, py;
+        pin_pos(i, &px, &py);
+        float dx = px - ball_x_, dy = py - ball_y_;
+        if (dx * dx + dy * dy <= 36.0f) {
+          pins_[i] = false;
+          ++downed;
+        }
+      }
+    }
+    reward += downed;
+    pins_frame_ += downed;
+
+    bool roll_over = moving && ball_x_ > 120.0f + 3 * 9.0f + 10.0f;
+    if (roll_over) {
+      bool strike = roll_no_ == 0 && pins_frame_ >= 10;
+      bool frame_done = roll_no_ == 1 || strike;
+      bool spare = frame_done && !strike && pins_frame_ >= 10;
+      if (strike) reward += 10.0f;
+      else if (spare) reward += 5.0f;
+      ball_x_ = -1.0f;
+      settle_ = 40;
+      if (frame_done) {
+        roll_no_ = 0;
+        ++frame_no_;
+        for (int i = 0; i < 10; ++i) pins_[i] = true;
+        pins_frame_ = 0;
+      } else {
+        ++roll_no_;
+      }
+    }
+    *done = frame_no_ >= 10;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 60, 160, 12, 156, 110);  // lane
+    for (int i = 0; i < 10; ++i) {
+      if (!pins_[i]) continue;
+      float px, py;
+      pin_pos(i, &px, &py);
+      draw_rect(o, py - 4, py + 4, px - 2, px + 2, 240);
+    }
+    if (ball_x_ >= 0)
+      draw_rect(o, ball_y_ - 3, ball_y_ + 3, ball_x_ - 3, ball_x_ + 3, 30);
+    draw_rect(o, bowler_y_ - 8, bowler_y_ + 8, 18, 30, 200);
+    draw_rect(o, 20, 26, 12, 12.0f + 14 * frame_no_, 240);
+  }
+
+ private:
+  static void pin_pos(int i, float* x, float* y) {
+    static const int col[10] = {0, 1, 1, 2, 2, 2, 3, 3, 3, 3};
+    static const int row[10] = {0, 0, 1, 0, 1, 2, 0, 1, 2, 3};
+    *x = 120.0f + col[i] * 9.0f;
+    *y = 110.0f + (row[i] - col[i] / 2.0f) * 11.0f;
+  }
+  float bowler_y_, ball_x_, ball_y_, ball_vy_;
+  bool hooked_, pins_[10];
+  int frame_no_, roll_no_, pins_frame_, settle_, frame_;
+};
+
+// ------------------------------------------------------- fishing_derby ----
+// Same dynamics as the JAX-native game (games/fishing_derby.py): 6 fish
+// lanes, active reel (UP) with escape chance otherwise, shark steals,
+// scripted opponent scoring to 99, signed reward.
+class FishingDerby : public Game {
+ public:
+  int num_actions() const override { return 18; }
+
+  void reset(Rng& rng) override {
+    hook_x_ = 46.0f;
+    hook_y_ = 94.0f;
+    hooked_ = -1;
+    for (int i = 0; i < 6; ++i) {
+      fish_x_[i] = rng.uniform(10.0f, 150.0f);
+      fish_d_[i] = rng.bernoulli() ? 1.0f : -1.0f;
+    }
+    shark_x_ = 80.0f;
+    shark_d_ = 1.0f;
+    my_ = opp_ = 0.0f;
+    frame_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    ++frame_;
+    static const bool kUp[18] = {0, 0, 1, 0, 0, 0, 1, 1, 0, 0,
+                                 1, 0, 0, 0, 1, 1, 0, 0};
+    static const bool kDown[18] = {0, 0, 0, 0, 0, 1, 0, 0, 1, 1,
+                                   0, 0, 0, 1, 0, 0, 1, 1};
+    static const bool kLeft[18] = {0, 0, 0, 0, 1, 0, 0, 1, 0, 1,
+                                   0, 0, 1, 0, 0, 1, 0, 1};
+    static const bool kRight[18] = {0, 0, 0, 1, 0, 0, 1, 0, 1, 0,
+                                    0, 1, 0, 0, 1, 0, 1, 0};
+    bool up = kUp[action], down = kDown[action];
+    bool left = kLeft[action], right = kRight[action];
+
+    for (int i = 0; i < 6; ++i) {
+      fish_x_[i] += fish_d_[i] * (0.8f + 0.1f * i);
+      if (fish_x_[i] < 6.0f || fish_x_[i] > 154.0f) fish_d_[i] = -fish_d_[i];
+      fish_x_[i] = std::clamp(fish_x_[i], 6.0f, 154.0f);
+    }
+    shark_x_ += shark_d_ * 1.6f;
+    if (shark_x_ < 10.0f || shark_x_ > 140.0f) shark_d_ = -shark_d_;
+    shark_x_ = std::clamp(shark_x_, 10.0f, 140.0f);
+
+    bool reeling = hooked_ >= 0;
+    if (left) hook_x_ -= 2.0f;
+    if (right) hook_x_ += 2.0f;
+    hook_x_ = std::clamp(hook_x_, 20.0f, 72.0f);
+    float lane5 = lane_y(5) + 6.0f;
+    if (reeling) {
+      hook_y_ = std::clamp(hook_y_ + (up ? -2.5f : 1.2f), 88.0f, lane5);
+    } else {
+      if (up) hook_y_ -= 2.0f;
+      if (down) hook_y_ += 2.0f;
+      hook_y_ = std::clamp(hook_y_, 88.0f, lane5);
+    }
+    bool escaped = reeling && !up && rng.uniform(0.0f, 1.0f) < 0.05f;
+
+    if (!reeling) {
+      for (int i = 0; i < 6; ++i) {
+        if (std::fabs(fish_x_[i] - hook_x_) < 8.0f &&
+            std::fabs(lane_y(i) - hook_y_) < 6.0f) {
+          hooked_ = i;
+          break;
+        }
+      }
+    }
+    if (hooked_ >= 0) fish_x_[hooked_] = hook_x_;
+
+    float reward = 0.0f;
+    bool landed = hooked_ >= 0 && hook_y_ <= 88.0f;
+    bool stolen = hooked_ >= 0 && !landed && hook_y_ <= 78.0f &&
+                  std::fabs(shark_x_ + 9.0f - hook_x_) < 11.0f;
+    static const float kVal[6] = {2, 2, 4, 4, 6, 6};
+    if (landed) {
+      reward += kVal[hooked_];
+      my_ += kVal[hooked_];
+    }
+    if (landed || stolen) {
+      fish_x_[hooked_] = rng.bernoulli() ? 10.0f : 150.0f;
+      hooked_ = -1;
+      hook_y_ = 94.0f;
+    } else if (escaped) {
+      hooked_ = -1;
+    }
+
+    if (frame_ % 110 == 0) {
+      reward -= 4.0f;
+      opp_ += 4.0f;
+    }
+    *done = my_ >= 99.0f || opp_ >= 99.0f || frame_ >= 12000;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 84, 210, 0, 160, 60);  // water
+    draw_rect(o, 60, 84, 8, 36, 120);   // piers
+    draw_rect(o, 60, 84, 124, 152, 120);
+    for (int i = 0; i < 6; ++i)
+      draw_rect(o, lane_y(i) - 3, lane_y(i) + 3, fish_x_[i] - 6,
+                fish_x_[i] + 6, 200);
+    draw_rect(o, 70, 80, shark_x_, shark_x_ + 18, 90);
+    draw_rect(o, 74, hook_y_ + 2, hook_x_ - 1, hook_x_ + 1, 230);
+    draw_rect(o, hook_y_ - 2, hook_y_ + 3, hook_x_ - 2, hook_x_ + 3, 250);
+    draw_rect(o, 20, 26, 8, 8.0f + my_, 240);
+    draw_rect(o, 30, 36, 8, 8.0f + opp_, 170);
+  }
+
+ private:
+  static float lane_y(int i) { return 84.0f + 14.0f + i * 18.0f; }
+  float hook_x_, hook_y_, fish_x_[6], fish_d_[6], shark_x_, shark_d_;
+  float my_, opp_;
+  int hooked_, frame_;
+};
+
 #ifdef DZ_WITH_ALE
 // ------------------------------------------------------------ ALE hook ----
 // Full-fidelity backend for all 57 cartridges (parity with the reference's
@@ -1599,6 +1833,8 @@ std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "ms_pacman") return std::make_unique<MsPacman>();
   if (name == "qbert") return std::make_unique<Qbert>();
   if (name == "zaxxon") return std::make_unique<Zaxxon>();
+  if (name == "bowling") return std::make_unique<Bowling>();
+  if (name == "fishing_derby") return std::make_unique<FishingDerby>();
 #ifdef DZ_WITH_ALE
   try {
     return std::make_unique<AleGame>(name);

@@ -71,8 +71,10 @@ def register_game(game: Game) -> Game:
 def get_game(name: str) -> Game:
   # Populate registry lazily to avoid import cycles.
   from dqn_zoo_tpu.envs.games import (asterix, atlantis,  # noqa: F401
-                                      boxing, breakout, catch,  # noqa: F401
-                                      enduro, freeway,  # noqa: F401
+                                      bowling, boxing,  # noqa: F401
+                                      breakout, catch,  # noqa: F401
+                                      enduro,  # noqa: F401
+                                      fishing_derby, freeway,  # noqa: F401
                                       ms_pacman, pong,  # noqa: F401
                                       qbert, seaquest,  # noqa: F401
                                       skiing,  # noqa: F401
