@@ -14,7 +14,11 @@ budget under:
 and prints one JSON line per config with the mean-episode-return
 trajectory. Same total sample:insert ratio everywhere.
 
-Usage: PALLAS_AXON_POOL_IPS= nohup python tools/ab_throughput.py > /tmp/ab.log 2>&1 &
+Usage (CPU): PALLAS_AXON_POOL_IPS= nohup python tools/ab_throughput.py > /tmp/ab.log 2>&1 &
+Usage (TPU): AB_TPU=1 python tools/ab_throughput.py <config> — one config
+per process (the hosted lease allows ~one compile + short run), config in
+{tp_sqrt, tp_1x, tp_linear, parity}. On TPU the XLA:CPU slow-compile
+pathology does not apply and each config runs in ~2-4 min.
 """
 
 import functools
@@ -27,9 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+AB_TPU = bool(os.environ.get("AB_TPU"))
+if not AB_TPU:
+  jax.config.update("jax_platforms", "cpu")
+else:
+  os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
-FRAMES = 160_000
+FRAMES = 120_000
 CHUNK_FRAMES = 20_000  # trajectory resolution
 
 
@@ -46,14 +54,21 @@ def run_config(name, num_envs, mode, lr_override, seed):
   state = eng.init(jax.random.PRNGKey(seed))
   frames_per_superstep = 4 * num_envs
   per_chunk = max(1, CHUNK_FRAMES // frames_per_superstep)
-  run = jax.jit(functools.partial(eng.run, num_supersteps=per_chunk),
+  # Scan length capped at 100: XLA:CPU compile time explodes on longer
+  # scans of the full superstep (a 312-length scan sat in compile 25+ min).
+  k = min(100, per_chunk)
+  run = jax.jit(functools.partial(eng.run, num_supersteps=k),
                 donate_argnums=0)
   traj = []
-  for _ in range(FRAMES // CHUNK_FRAMES):
+  for ci in range(FRAMES // CHUNK_FRAMES):
     state = eng.reset_telemetry(state)
-    state = run(state)
+    done = 0
+    while done < per_chunk:
+      state = run(state)
+      done += k
     m = jax.device_get(eng.metrics(state))
     traj.append(round(float(m.mean_episode_return), 3))
+    print(f"# {name} s{seed} chunk {ci}: {traj[-1]}", flush=True)
   print(json.dumps({
       "config": name, "seed": seed, "num_envs": num_envs,
       "batch": eng.config.batch_size,
@@ -62,17 +77,24 @@ def run_config(name, num_envs, mode, lr_override, seed):
   return traj
 
 
+CONFIGS = {
+    # Effective LRs: parity keeps the reference 6.25e-5. Throughput batch
+    # is 128 (4x reference): sqrt scale -> 1.25e-4 (build_engine default),
+    # 1x -> override so the auto-sqrt lands back on 6.25e-5,
+    # linear -> override so it lands on 2.5e-4.
+    "tp_sqrt": (16, "throughput", None),
+    "tp_1x": (16, "throughput", 0.00025 / 4 / 2.0),
+    "tp_linear": (16, "throughput", 0.00025 / 4 * 2.0),
+    "parity": (4, "parity", None),
+}
+
+
 def main():
-  # Effective LRs: parity keeps the reference 6.25e-5. Throughput batch is
-  # 128 (4x reference): sqrt scale -> 1.25e-4 (build_engine default),
-  # 1x -> override base so the auto-sqrt lands back on 6.25e-5,
-  # linear -> override so it lands on 2.5e-4.
-  base = 0.00025 / 4  # rainbow reference LR
+  names = sys.argv[1:] or list(CONFIGS)
   for seed in (1,):
-    run_config("parity", 4, "parity", None, seed)
-    run_config("tp_sqrt", 16, "throughput", None, seed)
-    run_config("tp_1x", 16, "throughput", base / 2.0, seed)
-    run_config("tp_linear", 16, "throughput", base * 2.0, seed)
+    for name in names:
+      b, mode, lr = CONFIGS[name]
+      run_config(name, b, mode, lr, seed)
   return 0
 
 
