@@ -55,10 +55,16 @@ def main():
     results.append({"devices": d, "env_steps_per_s": round(rate, 1),
                     "ms_per_superstep": round(dt / n * 1e3, 3)})
     print(json.dumps(results[-1]), flush=True)
-  base = results[0]["env_steps_per_s"]
+  t1 = results[0]["ms_per_superstep"]
   for r in results:
-    r["weak_scaling_eff"] = round(
-        r["env_steps_per_s"] / (r["devices"] * base), 3)
+    # Work-conserving efficiency: on a shared-core CPU host the D virtual
+    # devices COMPETE for the same cores, so ideal weak scaling is
+    # wall-clock ∝ total work (D x the single-device superstep). This is
+    # the distributed-layer overhead number; the throughput-based
+    # env_steps_per_s column only becomes meaningful on real multi-chip
+    # hardware where each device has its own compute.
+    r["work_conserving_eff"] = round(
+        r["devices"] * t1 / r["ms_per_superstep"], 3)
   print(json.dumps({"table": results}))
   return 0
 
