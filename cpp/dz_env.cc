@@ -1750,6 +1750,194 @@ class FishingDerby : public Game {
   int hooked_, frame_;
 };
 
+
+// -------------------------------------------------------------- tennis ----
+// Same dynamics as the JAX-native game (games/tennis.py): baseline
+// rallies, fast tracking opponent, fumbles only on fast-angled balls,
+// +/-1 per point, 24-point set.
+class Tennis : public Game {
+ public:
+  int num_actions() const override { return 18; }
+
+  void reset(Rng& rng) override {
+    (void)rng;
+    px_ = ox_ = bx_ = 80.0f;
+    by_ = 115.0f;
+    bvx_ = bvy_ = 0.0f;
+    serve_timer_ = 40;
+    serve_to_player_ = true;
+    points_ = frame_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    ++frame_;
+    static const bool kLeft[18] = {0, 0, 0, 0, 1, 0, 0, 1, 0, 1,
+                                   0, 0, 1, 0, 0, 1, 0, 1};
+    static const bool kRight[18] = {0, 0, 0, 1, 0, 0, 1, 0, 1, 0,
+                                    0, 1, 0, 0, 1, 0, 1, 0};
+    if (kLeft[action]) px_ -= 2.6f;
+    if (kRight[action]) px_ += 2.6f;
+    px_ = std::clamp(px_, 23.0f, 137.0f);
+    ox_ += std::clamp(bx_ - ox_, -3.4f, 3.4f);
+    ox_ = std::clamp(ox_, 23.0f, 137.0f);
+
+    bool serving = serve_timer_ > 0;
+    if (serve_timer_ > 0) --serve_timer_;
+    bool do_serve = serving && serve_timer_ == 0;
+    if (do_serve) {
+      bx_ = 80.0f;
+      by_ = 115.0f;
+      bvx_ = rng.uniform(-2.0f, 2.0f);
+      bvy_ = serve_to_player_ ? 2.6f : -2.6f;
+    }
+    bool live = !serving || do_serve;
+    if (live) {
+      bx_ += bvx_;
+      by_ += bvy_;
+    }
+    if (bx_ < 16.0f || bx_ > 144.0f) bvx_ = -bvx_;
+    bx_ = std::clamp(bx_, 16.0f, 144.0f);
+
+    if (live && by_ >= 176.0f && by_ <= 185.0f && std::fabs(bx_ - px_) <= 9.0f
+        && bvy_ > 0) {
+      bvx_ = std::clamp(bvx_ + 2.2f * (bx_ - px_) / 7.0f, -3.2f, 3.2f);
+      bvy_ = -2.6f;
+    }
+    if (live && by_ <= 55.0f && by_ >= 46.0f && bvy_ < 0) {
+      bool aligned = std::fabs(bx_ - ox_) <= 9.0f;
+      bool fumble = std::fabs(bvx_) > 1.8f &&
+                    rng.uniform(0.0f, 1.0f) < 0.04f;
+      if (aligned && !fumble) {
+        bvx_ = std::clamp(bvx_ + 2.0f * (bx_ - ox_) / 7.0f, -3.2f, 3.2f);
+        bvy_ = 2.6f;
+      }
+    }
+
+    float reward = 0.0f;
+    bool opp_point = live && by_ > 190.0f;
+    bool my_point = live && by_ < 40.0f;
+    if (opp_point || my_point) {
+      reward = my_point ? 1.0f : -1.0f;
+      ++points_;
+      serve_timer_ = 40;
+      serve_to_player_ = my_point;
+      bvx_ = bvy_ = 0.0f;
+      bx_ = 80.0f;
+      by_ = 115.0f;
+    }
+    *done = points_ >= 24 || frame_ >= 20000;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 40, 190, 16, 144, 80);  // court
+    draw_rect(o, 114, 117, 16, 144, 220);  // net
+    draw_rect(o, 48, 53, ox_ - 7, ox_ + 7, 150);
+    draw_rect(o, 178, 183, px_ - 7, px_ + 7, 200);
+    if (serve_timer_ == 0)
+      draw_rect(o, by_ - 2, by_ + 2, bx_ - 2, bx_ + 2, 250);
+    draw_rect(o, 20, 26, 16, 16.0f + 4 * points_, 240);
+  }
+
+ private:
+  float px_, ox_, bx_, by_, bvx_, bvy_;
+  int serve_timer_, points_, frame_;
+  bool serve_to_player_;
+};
+
+// -------------------------------------------------------------- gopher ----
+// Same dynamics as the JAX-native game (games/gopher.py): 16 ground
+// cells, gopher digs toward carrots, +20 hole fills / +80 bonks, episode
+// ends when all three carrots are gone.
+class Gopher : public Game {
+ public:
+  int num_actions() const override { return 8; }
+
+  void reset(Rng& rng) override {
+    (void)rng;
+    fx_ = 80.0f;
+    for (int i = 0; i < 16; ++i) holes_[i] = 0;
+    gcell_ = 0;
+    popped_ = 0;
+    for (int i = 0; i < 3; ++i) carrots_[i] = true;
+    frame_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    ++frame_;
+    static const bool kFire[8] = {0, 1, 0, 0, 0, 1, 1, 1};
+    static const bool kLeft[8] = {0, 0, 0, 0, 1, 0, 0, 1};
+    static const bool kRight[8] = {0, 0, 0, 1, 0, 0, 1, 0};
+    bool fire = kFire[action];
+    if (kLeft[action]) fx_ -= 2.2f;
+    if (kRight[action]) fx_ += 2.2f;
+    fx_ = std::clamp(fx_, 5.0f, 155.0f);
+    int fcell = std::clamp(int(fx_ / 10.0f), 0, 15);
+
+    float reward = 0.0f;
+    bool bonk = fire && popped_ > 0 && gcell_ == fcell;
+    if (bonk) {
+      reward += 80.0f;
+      gcell_ = rng.bernoulli() ? 0 : 15;
+      popped_ = 0;
+    } else if (fire && holes_[fcell] > 0) {
+      reward += 20.0f;
+      holes_[fcell] = 0;
+    }
+
+    static const int kCarrot[3] = {3, 8, 13};
+    int target = -1, best = 999;
+    for (int i = 0; i < 3; ++i) {
+      if (!carrots_[i]) continue;
+      int d = std::abs(kCarrot[i] - gcell_);
+      if (d < best) { best = d; target = i; }
+    }
+    bool tick = frame_ % 26 == 0 && !bonk;
+    if (tick && target >= 0) {
+      int dir = kCarrot[target] > gcell_ ? 1 : (kCarrot[target] < gcell_ ? -1 : 0);
+      bool at_target = dir == 0;
+      if (!at_target) gcell_ = std::clamp(gcell_ + dir, 0, 15);
+      holes_[gcell_] = std::min(holes_[gcell_] + 1, 3);
+      if (at_target && holes_[gcell_] >= 3 && carrots_[target]) {
+        carrots_[target] = false;
+        gcell_ = rng.bernoulli() ? 0 : 15;
+      }
+    }
+
+    if (frame_ % 160 == 0 && !bonk) popped_ = 40;
+    else if (popped_ > 0) --popped_;
+
+    bool any = carrots_[0] || carrots_[1] || carrots_[2];
+    *done = !any || frame_ >= 20000;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 150, 210, 0, 160, 100);  // ground
+    for (int c = 0; c < 16; ++c)
+      if (holes_[c] > 0)
+        draw_rect(o, 150, 150.0f + 6 * std::min(holes_[c], 3),
+                  c * 10 + 1, c * 10 + 9, 40);
+    static const int kCarrot[3] = {3, 8, 13};
+    for (int i = 0; i < 3; ++i)
+      if (carrots_[i])
+        draw_rect(o, 136, 150, kCarrot[i] * 10 + 2, kCarrot[i] * 10 + 8, 200);
+    float gx = gcell_ * 10 + 5;
+    if (popped_ > 0) draw_rect(o, 138, 150, gx - 5, gx + 5, 160);
+    else draw_rect(o, 170, 180, gx - 5, gx + 5, 130);
+    draw_rect(o, 120, 150, fx_ - 5, fx_ + 5, 250);
+  }
+
+ private:
+  float fx_;
+  int holes_[16], gcell_, popped_, frame_;
+  bool carrots_[3];
+};
+
 #ifdef DZ_WITH_ALE
 // ------------------------------------------------------------ ALE hook ----
 // Full-fidelity backend for all 57 cartridges (parity with the reference's
@@ -1835,6 +2023,8 @@ std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "zaxxon") return std::make_unique<Zaxxon>();
   if (name == "bowling") return std::make_unique<Bowling>();
   if (name == "fishing_derby") return std::make_unique<FishingDerby>();
+  if (name == "tennis") return std::make_unique<Tennis>();
+  if (name == "gopher") return std::make_unique<Gopher>();
 #ifdef DZ_WITH_ALE
   try {
     return std::make_unique<AleGame>(name);

@@ -75,9 +75,10 @@ def get_game(name: str) -> Game:
                                       breakout, catch,  # noqa: F401
                                       enduro,  # noqa: F401
                                       fishing_derby, freeway,  # noqa: F401
+                                      gopher,  # noqa: F401
                                       ms_pacman, pong,  # noqa: F401
                                       qbert, seaquest,  # noqa: F401
-                                      skiing,  # noqa: F401
+                                      skiing, tennis,  # noqa: F401
                                       space_invaders,  # noqa: F401
                                       zaxxon)  # noqa: F401
   if name not in _REGISTRY:
