@@ -259,3 +259,49 @@ def test_cli_mesh_devices_trains_on_cpu_mesh(tmp_path):
   assert rows[1]["eval_episode_return"] != "nan"
   # The checkpoint was written (sharded DistState + meta).
   assert os.path.exists(os.path.join(ckpt_path, "meta.npz"))
+
+
+def test_cli_mesh_mid_train_budget_resume(tmp_path):
+  """Distributed driver under the lease budget: legs on the CPU mesh save
+  MID-iteration and resume, mirroring the single-device workflow (the
+  hosted runtime's lease applies to multi-chip runs all the same)."""
+  import numpy as np
+  csv_path = str(tmp_path / "results.csv")
+  ckpt_path = str(tmp_path / "ckpt")
+  env = dict(os.environ)
+  env["JAX_PLATFORMS"] = "cpu"
+  env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+  env["PALLAS_AXON_POOL_IPS"] = ""
+  env["PYTHONPATH"] = os.pathsep.join(
+      [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+      + env.get("PYTHONPATH", "").split(os.pathsep))
+  code = (
+      "import jax; jax.config.update('jax_platforms','cpu');"
+      "from absl import app; from dqn_zoo_tpu.run import train;"
+      "import sys; app.run(train.main)")
+  # 6400 frames at 16 global envs -> 100 supersteps... use 12800 -> 200
+  # supersteps = 2 chunks so a leg can stop between them.
+  args = [
+      sys.executable, "-c", code,
+      "--agent=dqn", "--environment_name=catch", "--mesh_devices=4",
+      "--num_envs=16", "--replay_capacity=1024", "--num_iterations=1",
+      "--num_train_frames=12800", "--num_eval_frames=320",
+      "--max_frames_per_episode=1000", "--batch_size=16",
+      "--eval_num_envs=4", f"--results_csv_path={csv_path}",
+      f"--checkpoint_path={ckpt_path}", "--max_run_seconds=1",
+      "--checkpoint_replay=false", "--checkpoint_period=1"]
+  saw_mid_train = False
+  for leg in range(10):
+    proc = subprocess.run(args, capture_output=True, text=True, env=env,
+                          timeout=540)
+    assert proc.returncode == 0, f"leg {leg}: {proc.stderr[-3000:]}"
+    meta = np.load(os.path.join(ckpt_path, "meta.npz"), allow_pickle=True)
+    if int(meta["train_done"]) > 0:
+      saw_mid_train = True
+    with open(csv_path) as f:
+      rows = list(csv.DictReader(f))
+    if [r["iteration"] for r in rows] == ["0", "1"]:
+      break
+  else:
+    raise AssertionError("mesh chain never finished in 10 legs")
+  assert saw_mid_train, "no leg checkpointed mid-train on the mesh"
