@@ -79,8 +79,14 @@ class VectorAtariEnv:
     def body(_, carry):
       g, done = carry
       g2, _, d2, _ = self.game.step(g, jnp.asarray(self.config.noop_action))
-      g2 = jax.tree.map(lambda a, b: jnp.where(done, a, b), g, g2)
-      return g2, done | d2
+      # Select on done|d2 so a step that TERMINATES the episode is also
+      # discarded: the kept state is genuinely the last pre-done frame and
+      # a finished game is never handed to _step_one as live (round-4
+      # advisor finding; only reachable for games that can end within the
+      # <=30-frame burn, e.g. catch).
+      keep = done | d2
+      g2 = jax.tree.map(lambda a, b: jnp.where(keep, a, b), g, g2)
+      return g2, keep
 
     gs, _ = jax.lax.fori_loop(0, n, body, (gs, jnp.zeros((), jnp.bool_)))
     return key, gs

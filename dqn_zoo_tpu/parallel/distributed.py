@@ -95,6 +95,9 @@ class DistributedTrainer:
     self.engine = Engine(config)
     self.mesh = mesh
     self.axis = axis
+    # Memoized aggregation jits (built on first use; see metrics()).
+    self._eval_agg_fn = None
+    self._metrics_agg_fn = None
 
   def init(self, key: jax.Array) -> DistState:
     """Builds the initial DistState as ONE global jit computation.
@@ -196,17 +199,21 @@ class DistributedTrainer:
     """Cross-shard eval aggregation (psum over the mesh axis)."""
     axis = self.axis
 
-    def agg(e):
-      local = jax.tree.map(lambda x: jnp.squeeze(x, 0), e)
-      def tot(x):
-        return jax.lax.psum(x.astype(jnp.float32), axis)
-      return (tot(local.env_frames), tot(local.completed_count),
-              tot(local.completed_return_sum))
+    # Built once and reused: train_dist evaluates this in its eval loop
+    # condition every chunk, and a fresh jit closure per call defeats the
+    # jit cache (round-4 advisor finding).
+    if self._eval_agg_fn is None:
+      def agg(e):
+        local = jax.tree.map(lambda x: jnp.squeeze(x, 0), e)
+        def tot(x):
+          return jax.lax.psum(x.astype(jnp.float32), axis)
+        return (tot(local.env_frames), tot(local.completed_count),
+                tot(local.completed_return_sum))
 
-    agg_fn = jax.jit(jax.shard_map(
-        agg, mesh=self.mesh, in_specs=(P(axis),), out_specs=P(),
-        check_vma=False))
-    frames, eps, rets = jax.device_get(agg_fn(estate))
+      self._eval_agg_fn = jax.jit(jax.shard_map(
+          agg, mesh=self.mesh, in_specs=(P(axis),), out_specs=P(),
+          check_vma=False))
+    frames, eps, rets = jax.device_get(self._eval_agg_fn(estate))
     episodes = float(eps)
     return {
         "env_frames": int(frames),
@@ -221,29 +228,30 @@ class DistributedTrainer:
     axis = self.axis
     engine = self.engine
 
-    def agg(per):
-      local = jax.tree.map(lambda x: jnp.squeeze(x, 0), per)
-      tel = local.telemetry
-      def tot(x):
-        return jax.lax.psum(x.astype(jnp.float32), axis)
-      # In-progress fallback (ref parts.py:186-196 "else current"): mean of
-      # per-stream running returns across ALL shards.
-      in_prog = tot(jnp.sum(tel.episode_return))
-      n_streams = tot(jnp.asarray(tel.episode_return.shape[0], jnp.float32))
-      return (tot(local.env_frames), tot(tel.completed_count),
-              tot(tel.completed_return_sum), tot(tel.learn_steps),
-              tot(tel.state_value_ewma), tot(tel.ewma_trace),
-              in_prog / n_streams,
-              jax.lax.pmean(
-                  engine.exploration_epsilon(
-                      local.env_frames.astype(jnp.float32)), axis))
+    if self._metrics_agg_fn is None:
+      def agg(per):
+        local = jax.tree.map(lambda x: jnp.squeeze(x, 0), per)
+        tel = local.telemetry
+        def tot(x):
+          return jax.lax.psum(x.astype(jnp.float32), axis)
+        # In-progress fallback (ref parts.py:186-196 "else current"): mean of
+        # per-stream running returns across ALL shards.
+        in_prog = tot(jnp.sum(tel.episode_return))
+        n_streams = tot(jnp.asarray(tel.episode_return.shape[0],
+                                    jnp.float32))
+        return (tot(local.env_frames), tot(tel.completed_count),
+                tot(tel.completed_return_sum), tot(tel.learn_steps),
+                tot(tel.state_value_ewma), tot(tel.ewma_trace),
+                in_prog / n_streams,
+                jax.lax.pmean(
+                    engine.exploration_epsilon(
+                        local.env_frames.astype(jnp.float32)), axis))
 
-    from jax.sharding import PartitionSpec as P2
-    agg_fn = jax.jit(jax.shard_map(
-        agg, mesh=self.mesh, in_specs=(P2(axis),), out_specs=P2(),
-        check_vma=False))
+      self._metrics_agg_fn = jax.jit(jax.shard_map(
+          agg, mesh=self.mesh, in_specs=(P(axis),), out_specs=P(),
+          check_vma=False))
     (frames, eps, rets, learns, ewma, trace, in_prog,
-     expl) = jax.device_get(agg_fn(dstate.per_device))
+     expl) = jax.device_get(self._metrics_agg_fn(dstate.per_device))
     episodes = float(eps)
     return {
         "env_frames": int(frames),

@@ -23,11 +23,15 @@ class NullCheckpoint:
   def can_be_restored(self) -> bool:
     return False
 
-  def save(self, state, iteration, writer_state, train_done: int = 0) -> None:
-    del state, iteration, writer_state, train_done
+  def save(self, state, iteration, writer_state, train_done: int = 0,
+           extras=None) -> None:
+    del state, iteration, writer_state, train_done, extras
 
   def restore(self, template):
     raise RuntimeError("Nothing to restore.")
+
+  def restore_extras(self):
+    return {}
 
 
 class OrbaxCheckpoint:
@@ -47,7 +51,8 @@ class OrbaxCheckpoint:
     return os.path.exists(self._meta_path)
 
   def save(self, state, iteration: int, writer_state: Mapping[str, Any],
-           train_done: int = 0) -> None:
+           train_done: int = 0,
+           extras: Mapping[str, float] | None = None) -> None:
     # Orbax writes atomically (tmp dir + rename) and asynchronously; force
     # overwrites the previous slot and wait makes the meta file the commit
     # point (it is written only after the state is durable). The state is
@@ -61,14 +66,24 @@ class OrbaxCheckpoint:
     # hosted runtime revokes the TPU lease ~5-7 min after claim
     # (FAILED_PRECONDITION; round-3 breakout chain died 5/5 inside its first
     # 2M-frame train phase with no save point — see VERDICT.md round 3 #1).
+    #
+    # extras: small scalars that must survive even when their containing
+    # subtree is stripped from `state` — e.g. the replay insert counter
+    # and max-seen priority under --checkpoint_replay=false, which drive
+    # the PER importance-sampling anneal (engine/superstep.py) and insert
+    # priorities; without them every replay-less resume rewound the IS
+    # exponent to its begin value (round-4 advisor finding, ADVICE.md).
     self._checkpointer.save(self._state_path, state, force=True)
     self._checkpointer.wait_until_finished()
     os.makedirs(self._path, exist_ok=True)
     tmp = self._meta_path + ".tmp.npz"
+    extra_kv = {f"x_{k}": np.asarray(v) for k, v in (extras or {}).items()}
     np.savez(tmp, iteration=iteration, train_done=train_done,
              header_written=writer_state.get("header_written", False),
              fieldnames=np.asarray(writer_state.get("fieldnames") or [],
-                                   dtype=object))
+                                   dtype=object),
+             rows_written=int(writer_state.get("rows_written", -1)),
+             **extra_kv)
     os.replace(tmp, self._meta_path)
 
   def restore(self, template) -> Tuple[Any, int, Mapping[str, Any], int]:
@@ -88,5 +103,12 @@ class OrbaxCheckpoint:
         "header_written": bool(meta["header_written"]),
         "fieldnames": fieldnames,
     }
+    if "rows_written" in meta and int(meta["rows_written"]) >= 0:
+      writer_state["rows_written"] = int(meta["rows_written"])
     train_done = int(meta["train_done"]) if "train_done" in meta else 0
     return state, int(meta["iteration"]), writer_state, train_done
+
+  def restore_extras(self) -> Mapping[str, float]:
+    """Scalars saved via `extras=` (empty dict for older checkpoints)."""
+    meta = np.load(self._meta_path, allow_pickle=True)
+    return {k[2:]: float(meta[k]) for k in meta.files if k.startswith("x_")}

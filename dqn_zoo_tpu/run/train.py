@@ -330,7 +330,19 @@ def main(argv):
     restored, iteration, writer_state, train_done = checkpoint.restore(
         strip(state))
     if not _CHECKPOINT_REPLAY.value:
-      restored = restored._replace(replay=state.replay)
+      replay = state.replay
+      # The insert counter and max-seen priority outlive the stripped
+      # replay (saved as meta extras): the PER importance-sampling anneal
+      # is a schedule over cumulative inserts (engine/superstep.py) and
+      # insert priorities use the running max (ref prioritized/agent.py:80,
+      # 155,205) — resetting them every resumed leg silently rewound both.
+      extras = checkpoint.restore_extras()
+      if "replay_t" in extras:
+        replay = replay._replace(
+            t=replay.t * 0 + int(extras["replay_t"]),
+            max_seen_priority=(replay.max_seen_priority * 0
+                               + extras["replay_max_priority"]))
+      restored = restored._replace(replay=replay)
     state = restored
     writer.set_state(writer_state)
     logging.info("Restored at iteration=%d train_done=%d.",
@@ -346,7 +358,15 @@ def main(argv):
 
   def do_save(st, it, td):
     t = time.monotonic()
-    checkpoint.save(strip(st), it, writer.get_state(), train_done=td)
+    extras = None
+    if not _CHECKPOINT_REPLAY.value:
+      extras = {
+          "replay_t": int(jax.device_get(st.replay.t)),
+          "replay_max_priority":
+              float(jax.device_get(st.replay.max_seen_priority)),
+      }
+    checkpoint.save(strip(st), it, writer.get_state(), train_done=td,
+                    extras=extras)
     last_save[0] = time.monotonic()
     logging.info("Checkpoint saved (iteration=%d, train_done=%d) in %.1fs.",
                  it, td, last_save[0] - t)
@@ -448,7 +468,11 @@ def main(argv):
     while done < eval_supersteps or (
         done < 3 * eval_supersteps
         and int(jax.device_get(estate.completed_count)) == 0):
-      k = min(100, eval_supersteps - done) if done < eval_supersteps else 100
+      # Extension chunks are capped at the 3x ceiling too, so eval_frames
+      # never overshoots the documented budget (it did at tiny test scales,
+      # where one 100-superstep chunk dwarfed the budget itself).
+      cap = eval_supersteps if done < eval_supersteps else 3 * eval_supersteps
+      k = min(100, cap - done)
       estate = eval_chunk(k, state.online_params, estate)
       done += k
     estate = jax.device_get(estate)
@@ -478,6 +502,12 @@ def main(argv):
         ("normalized_return", human_norm, "%.3f"),
         ("capped_normalized_return", capped, "%.3f"),
         ("human_gap", 1.0 - capped, "%.3f"),
+        # 14th field beyond the reference's 13 (dqn/run_atari.py:271-288):
+        # frames the eval phase ACTUALLY ran. The driver may extend the
+        # budget up to 3x until an episode completes (unlike the
+        # reference's fixed single-stream 5e5); without this column two
+        # runs' eval returns could silently represent different budgets.
+        ("eval_frames", int(estate.env_frames), "%d"),
     ]
     logging.info(", ".join(("%s: " + f) % (n_, v) for n_, v, f in log_output))
     writer.write(collections.OrderedDict((n_, v) for n_, v, _ in log_output))

@@ -126,8 +126,19 @@ def main_dist(spec_overrides: dict):
     restored, iteration, writer_state, train_done = checkpoint.restore(
         strip(dstate))
     if not f.checkpoint_replay:
+      replay = dstate.per_device.replay
+      # Persisted insert counter / max priority (see run/train.py: the PER
+      # IS anneal is a schedule over cumulative inserts and must survive
+      # replay-less resumes). Per-device counters run in lockstep, so one
+      # scalar restores all shards.
+      extras = checkpoint.restore_extras()
+      if "replay_t" in extras:
+        replay = replay._replace(
+            t=replay.t * 0 + int(extras["replay_t"]),
+            max_seen_priority=(replay.max_seen_priority * 0
+                               + extras["replay_max_priority"]))
       restored = restored._replace(per_device=restored.per_device._replace(
-          replay=dstate.per_device.replay))
+          replay=replay))
     dstate = restored
     writer.set_state(writer_state)
 
@@ -144,7 +155,15 @@ def main_dist(spec_overrides: dict):
         time.monotonic() - t_claim[0] > f.max_run_seconds
 
   def do_save(st, it, td):
-    checkpoint.save(strip(st), it, writer.get_state(), train_done=td)
+    extras = None
+    if not f.checkpoint_replay:
+      extras = {
+          "replay_t": int(np.max(jax.device_get(st.per_device.replay.t))),
+          "replay_max_priority": float(np.max(
+              jax.device_get(st.per_device.replay.max_seen_priority))),
+      }
+    checkpoint.save(strip(st), it, writer.get_state(), train_done=td,
+                    extras=extras)
     logging.info("Checkpoint saved (iteration=%d, train_done=%d).", it, td)
 
   fence(dstate)
@@ -220,7 +239,9 @@ def main_dist(spec_overrides: dict):
     while done < eval_supersteps or (
         done < 3 * eval_supersteps
         and trainer.eval_metrics(estate)["episodes"] == 0):
-      k = min(100, eval_supersteps - done) if done < eval_supersteps else 100
+      # Cap extension chunks at the 3x ceiling (see run/train.py).
+      cap = eval_supersteps if done < eval_supersteps else 3 * eval_supersteps
+      k = min(100, cap - done)
       estate = eval_chunk(k, dstate.online_params, estate)
       done += k
     em = trainer.eval_metrics(estate)
@@ -247,6 +268,9 @@ def main_dist(spec_overrides: dict):
         ("normalized_return", human_norm, "%.3f"),
         ("capped_normalized_return", capped, "%.3f"),
         ("human_gap", 1.0 - capped, "%.3f"),
+        # Frames the eval phase actually ran (budget may extend up to 3x
+        # until an episode completes — see run/train.py field 14).
+        ("eval_frames", int(em["env_frames"]), "%d"),
     ]
     logging.info(", ".join(("%s: " + fmt) % (n_, v)
                            for n_, v, fmt in log_output))

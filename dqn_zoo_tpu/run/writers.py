@@ -22,6 +22,7 @@ class CsvWriter:
       os.makedirs(dirname, exist_ok=True)
     self._header_written = False
     self._fieldnames: Optional[Sequence[str]] = None
+    self._rows_written = 0
 
   def write(self, values: Mapping[str, Any]) -> None:
     if self._fieldnames is None:
@@ -36,6 +37,7 @@ class CsvWriter:
         writer.writeheader()
         self._header_written = True
       writer.writerow(values)
+    self._rows_written += 1
 
   def close(self) -> None:
     pass
@@ -44,11 +46,31 @@ class CsvWriter:
     return {
         "header_written": self._header_written,
         "fieldnames": self._fieldnames,
+        "rows_written": self._rows_written,
     }
 
   def set_state(self, state: Mapping[str, Any]) -> None:
     self._header_written = state["header_written"]
     self._fieldnames = state["fieldnames"]
+    # Resume idempotence: a process can die between writing row i and the
+    # checkpoint save that would have recorded it, leaving the file one row
+    # ahead of the restored writer state; the resumed run then re-runs that
+    # iteration and would append a duplicate. Truncating to the recorded
+    # row count makes the (re)write converge to one row per iteration.
+    # Older checkpoints without the counter skip this (no truncation).
+    if "rows_written" in state:
+      self._rows_written = int(state["rows_written"])
+      self._truncate_to(self._rows_written)
+
+  def _truncate_to(self, rows: int) -> None:
+    if not os.path.exists(self._fname):
+      return
+    with open(self._fname, "r", newline="") as f:
+      lines = f.readlines()
+    keep = (1 if self._header_written else 0) + rows
+    if len(lines) > keep:
+      with open(self._fname, "w", newline="") as f:
+        f.writelines(lines[:keep])
 
 
 class NullWriter:

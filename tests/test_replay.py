@@ -245,3 +245,29 @@ def test_state_is_a_serializable_pytree():
   assert all((np.asarray(a) == np.asarray(b)).all()
              for a, b in zip(jax.tree_util.tree_leaves(state),
                              jax.tree_util.tree_leaves(state2)))
+
+
+def test_fresh_replay_with_restored_insert_counter():
+  """Replay-less resume scenario (run/train.py --checkpoint_replay=false):
+  a freshly initialized buffer continues from a persisted cumulative insert
+  counter. Inserts land mid-ring (slot t mod C), nothing spuriously
+  activates (fresh row_t = -1 guards activation), and after enough inserts
+  sampling works exactly like a fresh buffer's."""
+  cfg = make_cfg(n_step=1, priority_exponent=0.6)
+  t0 = 1_000_003  # arbitrary mid-ring continuation point
+  state = rp.replay_init(cfg)._replace(
+      t=jnp.asarray(t0, jnp.int32),
+      max_seen_priority=jnp.asarray(7.5, jnp.float32))
+  assert int(rp.replay_size(state)) == 0
+  state = insert_rows(cfg, state, simple_episode(cfg, 6))
+  # Same active-count law as a fresh buffer: 5 non-terminal rows per stream,
+  # minus the newest (no successor yet) → the terminal insert activates it.
+  assert int(rp.replay_size(state)) == 5 * cfg.num_streams
+  assert int(state.t) == t0 + 6
+  batch, leaves, weights = rp.replay_sample(
+      cfg, state, jax.random.PRNGKey(0), 64, importance_sampling_exponent=0.4)
+  assert np.isfinite(np.asarray(weights)).all()
+  term = np.asarray(state.is_terminal).reshape(-1)[np.asarray(leaves)]
+  assert not term.any()
+  # max_seen_priority survives and continues to drive insert priorities.
+  assert float(state.max_seen_priority) >= 7.5

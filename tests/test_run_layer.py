@@ -42,6 +42,30 @@ def test_csv_writer_header_once_and_resume(tmp_path):
   assert rows[3] == ["5", "6"]
 
 
+def test_csv_writer_truncates_rows_past_state(tmp_path):
+  """A death between writer.write(row_i) and the checkpoint save leaves the
+  file one row ahead of the restored state; set_state truncates back so the
+  resumed iteration's re-write is not a duplicate (round-4 advisor
+  finding)."""
+  path = str(tmp_path / "r.csv")
+  w = CsvWriter(path)
+  w.write({"a": 1, "b": 2})
+  state = w.get_state()  # snapshot BEFORE the doomed row
+  w.write({"a": 3, "b": 4})  # written, but never reached a checkpoint
+  w2 = CsvWriter(path)
+  w2.set_state(state)
+  w2.write({"a": 30, "b": 40})  # resumed run re-emits iteration 1's row
+  with open(path) as f:
+    rows = list(csv.reader(f))
+  assert rows == [["a", "b"], ["1", "2"], ["30", "40"]]
+  # Legacy state without the counter: no truncation (backward compatible).
+  w3 = CsvWriter(path)
+  w3.set_state({"header_written": True, "fieldnames": ["a", "b"]})
+  w3.write({"a": 5, "b": 6})
+  with open(path) as f:
+    assert len(list(csv.reader(f))) == 4
+
+
 def test_csv_writer_rejects_field_change(tmp_path):
   w = CsvWriter(str(tmp_path / "r.csv"))
   w.write({"a": 1})

@@ -131,8 +131,13 @@ def test_cli_end_to_end(tmp_path, agent):
       "iteration", "frame", "eval_episode_return", "train_episode_return",
       "eval_num_episodes", "train_num_episodes", "eval_frame_rate",
       "train_frame_rate", "train_exploration_epsilon", "train_state_value",
-      "normalized_return", "capped_normalized_return", "human_gap"]
+      "normalized_return", "capped_normalized_return", "human_gap",
+      "eval_frames"]
   assert float(rows[1]["train_episode_return"]) <= 1.0
+  # eval_frames records the frames the eval phase ACTUALLY consumed (can
+  # sit below the nominal budget — reset steps consume 1 raw frame, not 4 —
+  # or above it, the driver extends up to 3x until an episode completes).
+  assert all(0 < int(r["eval_frames"]) <= 3 * 400 for r in rows)
 
 
 def test_cli_checkpoint_split_resume(tmp_path):
@@ -161,13 +166,22 @@ def test_cli_checkpoint_split_resume(tmp_path):
       "--eval_num_envs=4", f"--results_csv_path={csv_path}",
       f"--checkpoint_path={ckpt_path}", "--iterations_per_run=1",
       "--checkpoint_replay=false", "--checkpoint_period=1"]
+  replay_ts = []
   for run in range(3):  # iterations 0, 1, 2 — one per process
     proc = subprocess.run(args, capture_output=True, text=True, env=env,
                           timeout=540)
     assert proc.returncode == 0, f"run {run}: {proc.stderr[-3000:]}"
+    import numpy as np
+    meta = np.load(os.path.join(ckpt_path, "meta.npz"), allow_pickle=True)
+    replay_ts.append(int(meta["x_replay_t"]))
   with open(csv_path) as f:
     rows = list(csv.DictReader(f))
   assert [r["iteration"] for r in rows] == ["0", "1", "2"]
+  # The cumulative insert counter survives replay-less resumes (it drives
+  # the PER IS anneal; round-4 advisor finding): strictly increasing across
+  # legs, and leg N+1 continues from leg N's count rather than 0.
+  assert replay_ts[1] > replay_ts[0] >= 0
+  assert replay_ts[2] > replay_ts[1]
   # frames advance across processes: env_frames persisted in the checkpoint
   assert float(rows[2]["train_exploration_epsilon"]) <= float(
       rows[1]["train_exploration_epsilon"])
