@@ -1938,6 +1938,578 @@ class Gopher : public Game {
   bool carrots_[3];
 };
 
+// -------------------------------------------------------- demon attack ----
+// Mirrors dqn_zoo_tpu/envs/games/demon_attack.py: three weaving demons in
+// fixed hover bands drop bombs; kills pay wave-scaled bounty; 4 lives.
+class DemonAttack : public Game {
+ public:
+  int num_actions() const override { return 6; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    px_ = rng.uniform(8.0f, 152.0f - 10);
+    for (int i = 0; i < 3; ++i) {
+      dx_[i] = rng.uniform(8.0f, 152.0f - 8);
+      dd_[i] = rng.bernoulli() ? 1.0f : -1.0f;
+      dlive_[i] = true;
+      ddelay_[i] = 0;
+      bx_[i] = by_[i] = 0;
+      blive_[i] = false;
+    }
+    sx_ = sy_ = 0;
+    slive_ = false;
+    lives_ = 4;
+    wave_ = kills_ = pause_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    bool right = action == 2 || action == 4;
+    bool left = action == 3 || action == 5;
+    bool fire = action == 1 || action == 4 || action == 5;
+    px_ += right ? 3.0f : (left ? -3.0f : 0.0f);
+    px_ = std::clamp(px_, 8.0f, 152.0f - 10);
+
+    float speed = 1.2f + 0.3f * wave_;
+    float reward = 0.0f;
+    static const float kBandY[3] = {60, 90, 120};
+    for (int i = 0; i < 3; ++i) {
+      if (dlive_[i]) {
+        dx_[i] += dd_[i] * speed;
+        if (dx_[i] < 8 || dx_[i] > 152 - 8 || rng.uniform(0, 1) < 0.02f)
+          dd_[i] = -dd_[i];
+        dx_[i] = std::clamp(dx_[i], 8.0f, 152.0f - 8);
+      } else if (--ddelay_[i] <= 0) {
+        dlive_[i] = true;
+        dx_[i] = rng.uniform(8.0f, 152.0f - 8);
+      }
+    }
+
+    if (fire && !slive_) { sx_ = px_ + 5; sy_ = 178; slive_ = true; }
+    if (slive_) {
+      sy_ -= 8.0f;
+      if (sy_ < 40) slive_ = false;
+      for (int i = 2; i >= 0 && slive_; --i) {  // lowest band wins
+        if (dlive_[i] && sx_ + 2 >= dx_[i] && sx_ <= dx_[i] + 8 &&
+            sy_ <= kBandY[i] + 8 && sy_ + 6 >= kBandY[i]) {
+          dlive_[i] = false;
+          ddelay_[i] = 40;
+          slive_ = false;
+          reward += 10.0f * (wave_ + 1);
+          if (++kills_ >= 9) { kills_ = 0; ++wave_; }
+        }
+      }
+    }
+
+    bool hit = false;
+    for (int i = 0; i < 3; ++i) {
+      if (dlive_[i] && !blive_[i] && rng.uniform(0, 1) < 0.022f) {
+        bx_[i] = dx_[i] + 4;
+        by_[i] = kBandY[i] + 8;
+        blive_[i] = true;
+      }
+      if (blive_[i]) {
+        by_[i] += 3.0f;
+        if (by_[i] > 200) blive_[i] = false;
+        if (bx_[i] + 2 >= px_ && bx_[i] <= px_ + 10 && by_[i] + 6 >= 180 &&
+            by_[i] <= 188)
+          hit = true;
+      }
+    }
+    if (pause_ > 0) { --pause_; hit = false; }
+    if (hit) {
+      for (int i = 0; i < 3; ++i) blive_[i] = false;
+      pause_ = 30;
+      if (--lives_ <= 0) *done = true;
+      else *life_lost = true;
+    }
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    static const float kBandY[3] = {60, 90, 120};
+    draw_rect(o, 190, 210, 0, 160, 90);  // ice field
+    for (int i = 0; i < 3; ++i) {
+      if (dlive_[i]) draw_rect(o, kBandY[i], kBandY[i] + 8, dx_[i],
+                               dx_[i] + 8, 170);
+      if (blive_[i]) draw_rect(o, by_[i], by_[i] + 6, bx_[i], bx_[i] + 2,
+                               150);
+    }
+    if (slive_) draw_rect(o, sy_, sy_ + 6, sx_, sx_ + 2, 236);
+    draw_rect(o, 180, 188, px_, px_ + 10, 130);
+  }
+
+ private:
+  float px_, dx_[3], dd_[3], bx_[3], by_[3], sx_, sy_;
+  bool dlive_[3], blive_[3], slive_;
+  int ddelay_[3], lives_, wave_, kills_, pause_;
+};
+
+// ------------------------------------------------------------- phoenix ----
+// Mirrors dqn_zoo_tpu/envs/games/phoenix.py: eight weaving birds in two
+// ranks, homing dives, deployable shield (DOWN), 5 lives.
+class Phoenix : public Game {
+ public:
+  int num_actions() const override { return 8; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    px_ = rng.uniform(8.0f, 152.0f - 10);
+    for (int i = 0; i < 8; ++i) {
+      bx_[i] = rng.uniform(8.0f, 152.0f - 8);
+      by_[i] = rank_y(i);
+      bd_[i] = rng.bernoulli() ? 1.0f : -1.0f;
+      blive_[i] = true;
+      bdive_[i] = false;
+      bdelay_[i] = 0;
+    }
+    sx_ = sy_ = 0;
+    slive_ = false;
+    shield_ = shield_cd_ = 0;
+    lives_ = 5;
+    wave_ = pause_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    bool right = action == 2 || action == 5;
+    bool left = action == 3 || action == 6;
+    bool fire = action == 1 || action == 5 || action == 6 || action == 7;
+    bool shield_btn = action == 4 || action == 7;
+    px_ += right ? 3.0f : (left ? -3.0f : 0.0f);
+    px_ = std::clamp(px_, 8.0f, 152.0f - 10);
+
+    if (shield_btn && shield_cd_ <= 0 && shield_ <= 0) {
+      shield_ = 24;
+      shield_cd_ = 40;
+    } else {
+      if (shield_ > 0) --shield_;
+      if (shield_cd_ > 0) --shield_cd_;
+    }
+    bool shield_up = shield_ > 0;
+
+    float speed = 1.0f + 0.25f * wave_;
+    float reward = 0.0f;
+    for (int i = 0; i < 8; ++i) {
+      if (!blive_[i]) {
+        if (--bdelay_[i] <= 0) {
+          blive_[i] = true;
+          bdive_[i] = false;
+          bx_[i] = rng.uniform(8.0f, 152.0f - 8);
+          by_[i] = rank_y(i);
+        }
+        continue;
+      }
+      if (!bdive_[i] && rng.uniform(0, 1) < 0.012f) bdive_[i] = true;
+      if (bdive_[i]) {
+        bx_[i] += std::clamp(px_ - bx_[i], -2.0f, 2.0f);
+        by_[i] += 3.2f;
+        if (by_[i] > 200) { bdive_[i] = false; by_[i] = rank_y(i); }
+      } else {
+        bx_[i] += bd_[i] * speed;
+        if (bx_[i] < 8 || bx_[i] > 152 - 8 || rng.uniform(0, 1) < 0.03f)
+          bd_[i] = -bd_[i];
+        bx_[i] = std::clamp(bx_[i], 8.0f, 152.0f - 8);
+        by_[i] = rank_y(i);
+      }
+    }
+
+    if (fire && !slive_) { sx_ = px_ + 5; sy_ = 178; slive_ = true; }
+    if (slive_) {
+      sy_ -= 7.0f;
+      if (sy_ < 40) slive_ = false;
+      for (int i = 7; i >= 0 && slive_; --i) {
+        if (blive_[i] && sx_ + 2 >= bx_[i] && sx_ <= bx_[i] + 8 &&
+            sy_ <= by_[i] + 6 && sy_ + 6 >= by_[i]) {
+          reward += bdive_[i] ? 40.0f : (i < 4 ? 25.0f : 12.0f);
+          blive_[i] = false;
+          bdelay_[i] = 45;
+          slive_ = false;
+        }
+      }
+    }
+
+    bool crash = false;
+    for (int i = 0; i < 8; ++i) {
+      if (!blive_[i] || !bdive_[i]) continue;
+      bool contact = bx_[i] + 8 >= px_ && bx_[i] <= px_ + 10 &&
+                     by_[i] + 6 >= 180 && by_[i] <= 188;
+      if (!contact) continue;
+      if (shield_up) {
+        reward += 40.0f;
+        blive_[i] = false;
+        bdelay_[i] = 45;
+      } else {
+        crash = true;
+      }
+    }
+    if (pause_ > 0) { --pause_; crash = false; }
+    if (crash) {
+      pause_ = 30;
+      if (--lives_ <= 0) *done = true;
+      else *life_lost = true;
+    }
+    bool any = false;
+    for (int i = 0; i < 8; ++i) any |= blive_[i];
+    if (!any) ++wave_;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 40, 42, 0, 160, 70);  // horizon band
+    for (int i = 0; i < 8; ++i)
+      if (blive_[i]) draw_rect(o, by_[i], by_[i] + 6, bx_[i], bx_[i] + 8,
+                               190);
+    if (slive_) draw_rect(o, sy_, sy_ + 6, sx_, sx_ + 2, 236);
+    if (shield_ > 0) draw_rect(o, 174, 178, px_ - 2, px_ + 12, 150);
+    draw_rect(o, 180, 188, px_, px_ + 10, 130);
+  }
+
+ private:
+  static float rank_y(int i) { return i < 4 ? 56.0f : 76.0f; }
+  float px_, bx_[8], by_[8], bd_[8], sx_, sy_;
+  bool blive_[8], bdive_[8], slive_;
+  int bdelay_[8], shield_, shield_cd_, lives_, wave_, pause_;
+};
+
+// ------------------------------------------------------------- assault ----
+// Mirrors dqn_zoo_tpu/envs/games/assault.py: mothership deploys strafing
+// drones; turret heat meter (overheat costs a life); 4 lives.
+class Assault : public Game {
+ public:
+  int num_actions() const override { return 7; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    px_ = rng.uniform(8.0f, 152.0f - 10);
+    mx_ = 70.0f;
+    md_ = rng.bernoulli() ? 1.0f : -1.0f;
+    mhp_ = 6;
+    for (int i = 0; i < 3; ++i) {
+      dlive_[i] = false;
+      ddelay_[i] = 10 + 50 * i;
+      dd_[i] = 1.0f;
+      dx_[i] = dy_[i] = bx_[i] = by_[i] = 0;
+      blive_[i] = false;
+    }
+    sx_ = sy_ = 0;
+    slive_ = false;
+    heat_ = 0;
+    lives_ = 4;
+    wave_ = pause_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    bool right = action == 3 || action == 5;
+    bool left = action == 4 || action == 6;
+    bool fire = action == 1 || action == 2 || action == 5 || action == 6;
+    px_ += right ? 3.0f : (left ? -3.0f : 0.0f);
+    px_ = std::clamp(px_, 8.0f, 152.0f - 10);
+
+    mx_ += md_ * (0.8f + 0.2f * wave_);
+    if (mx_ < 8 || mx_ > 152 - 24) md_ = -md_;
+    mx_ = std::clamp(mx_, 8.0f, 152.0f - 24);
+
+    float speed = 1.4f + 0.3f * wave_;
+    for (int i = 0; i < 3; ++i) {
+      if (!dlive_[i]) {
+        if (--ddelay_[i] <= 0) {
+          dlive_[i] = true;
+          dx_[i] = mx_ + 12;
+          dy_[i] = 52.0f;
+        }
+        continue;
+      }
+      dx_[i] += dd_[i] * speed;
+      if (dx_[i] < 8 || dx_[i] > 152 - 14 || rng.uniform(0, 1) < 0.02f)
+        dd_[i] = -dd_[i];
+      dx_[i] = std::clamp(dx_[i], 8.0f, 152.0f - 14);
+      dy_[i] = std::min(dy_[i] + 0.55f, 180.0f - 7 - 2);
+    }
+
+    float reward = 0.0f;
+    bool shot_spawn = fire && !slive_ && pause_ <= 0;
+    if (shot_spawn) { sx_ = px_ + 5; sy_ = 178; slive_ = true; }
+    heat_ = std::max(heat_ - 1, 0) + (shot_spawn ? 25 : 0);
+    bool overheat = heat_ >= 100;
+    if (overheat) heat_ = 0;
+
+    if (slive_) {
+      sy_ -= 7.0f;
+      if (sy_ < 38) slive_ = false;
+      for (int i = 2; i >= 0 && slive_; --i) {
+        if (dlive_[i] && sx_ + 2 >= dx_[i] && sx_ <= dx_[i] + 14 &&
+            sy_ <= dy_[i] + 7 && sy_ + 6 >= dy_[i]) {
+          dlive_[i] = false;
+          ddelay_[i] = 50;
+          slive_ = false;
+          reward += 21.0f;
+        }
+      }
+      if (slive_ && sx_ + 2 >= mx_ && sx_ <= mx_ + 24 && sy_ <= 42 + 8 &&
+          sy_ + 6 >= 42) {
+        slive_ = false;
+        if (--mhp_ <= 0) { reward += 150.0f; ++wave_; mhp_ = 6; }
+      }
+    }
+
+    bool destroyed = overheat;
+    for (int i = 0; i < 3; ++i) {
+      if (dlive_[i] && !blive_[i] && rng.uniform(0, 1) < 0.012f) {
+        bx_[i] = dx_[i] + 7;
+        by_[i] = dy_[i] + 7;
+        blive_[i] = true;
+      }
+      if (blive_[i]) {
+        by_[i] += 2.8f;
+        if (by_[i] > 200) blive_[i] = false;
+        if (bx_[i] + 2 >= px_ && bx_[i] <= px_ + 10 && by_[i] + 6 >= 180 &&
+            by_[i] <= 188)
+          destroyed = true;
+      }
+      if (dlive_[i] && dx_[i] + 14 >= px_ && dx_[i] <= px_ + 10 &&
+          dy_[i] + 7 >= 178)
+        destroyed = true;
+    }
+    if (pause_ > 0) { --pause_; destroyed = false; }
+    if (destroyed) {
+      for (int i = 0; i < 3; ++i) blive_[i] = false;
+      pause_ = 30;
+      if (--lives_ <= 0) *done = true;
+      else *life_lost = true;
+    }
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 192, 196, 0, 160, 120);  // ground
+    draw_rect(o, 42, 50, mx_, mx_ + 24, 160);  // mothership
+    for (int i = 0; i < 3; ++i) {
+      if (dlive_[i]) draw_rect(o, dy_[i], dy_[i] + 7, dx_[i], dx_[i] + 14,
+                               190);
+      if (blive_[i]) draw_rect(o, by_[i], by_[i] + 6, bx_[i], bx_[i] + 2,
+                               150);
+    }
+    if (slive_) draw_rect(o, sy_, sy_ + 6, sx_, sx_ + 2, 236);
+    draw_rect(o, 180, 188, px_, px_ + 10, 140);
+    draw_rect(o, 200, 204, 10, 10 + heat_ * 1.4f, 110);  // heat bar
+  }
+
+ private:
+  float px_, mx_, md_, dx_[3], dy_[3], dd_[3], bx_[3], by_[3], sx_, sy_;
+  bool dlive_[3], blive_[3], slive_;
+  int ddelay_[3], mhp_, heat_, lives_, wave_, pause_;
+};
+
+// ---------------------------------------------------------- ice hockey ----
+// Mirrors dqn_zoo_tpu/envs/games/ice_hockey.py: 1-on-1 rink, carried puck,
+// signed goals, fixed game clock, no lives.
+class IceHockey : public Game {
+ public:
+  int num_actions() const override { return 18; }
+
+  void reset(Rng& rng) override {
+    px_ = 76; py_ = 150; ex_ = 76; ey_ = 66;
+    kx_ = 78; ky_ = rng.uniform(100.0f, 120.0f);
+    kvx_ = kvy_ = 0;
+    carrier_ = 0;
+    frame_ = faceoff_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    bool fire = action == 1 || action >= 10;
+    int a = action >= 10 ? action - 8 : action;
+    float dx = ((a == 3 || a == 6 || a == 8) ? 1.0f : 0.0f) -
+               ((a == 4 || a == 7 || a == 9) ? 1.0f : 0.0f);
+    float dy = ((a == 5 || a == 8 || a == 9) ? 1.0f : 0.0f) -
+               ((a == 2 || a == 6 || a == 7) ? 1.0f : 0.0f);
+    px_ = std::clamp(px_ + dx * 2.2f, 12.0f, 148.0f - 8);
+    py_ = std::clamp(py_ + dy * 2.2f, 115.0f, 190.0f - 12);
+
+    float tx = carrier_ == 1 ? 76.0f : kx_ - 4;
+    float ty = carrier_ == 1 ? 48.0f : std::min(ky_, 103.0f);
+    ex_ = std::clamp(ex_ + std::clamp(tx - ex_, -1.8f, 1.8f), 12.0f,
+                     148.0f - 8);
+    ey_ = std::clamp(ey_ + std::clamp(ty - ey_, -1.8f, 1.8f), 40.0f, 103.0f);
+
+    if (faceoff_ > 0) --faceoff_;
+    bool live = faceoff_ == 0;
+
+    if (carrier_ == 1) { kx_ = px_ + 4; ky_ = py_ - 2; kvx_ = kvy_ = 0; }
+    if (carrier_ == 2) { kx_ = ex_ + 4; ky_ = ey_ + 14; kvx_ = kvy_ = 0; }
+    if (live && carrier_ == 0) { kx_ += kvx_; ky_ += kvy_; }
+    if (kx_ < 12 || kx_ > 148 - 3) { kvx_ = -kvx_; }
+    kvx_ *= 0.985f; kvy_ *= 0.985f;
+    kx_ = std::clamp(kx_, 12.0f, 148.0f - 3);
+    bool in_mouth = kx_ >= 62 && kx_ + 3 <= 98;
+    if (!in_mouth && (ky_ < 40 || ky_ > 190 - 3)) kvy_ = -kvy_;
+    if (!in_mouth) ky_ = std::clamp(ky_, 40.0f, 190.0f - 3);
+
+    if (live && carrier_ == 0) {
+      if (kx_ + 3 >= px_ && kx_ <= px_ + 8 && ky_ + 3 >= py_ &&
+          ky_ <= py_ + 12)
+        carrier_ = 1;
+      else if (kx_ + 3 >= ex_ && kx_ <= ex_ + 8 && ky_ + 3 >= ey_ &&
+               ky_ <= ey_ + 12)
+        carrier_ = 2;
+    }
+    bool overlap = px_ + 8 >= ex_ && px_ <= ex_ + 8 && py_ <= ey_ + 14 &&
+                   py_ + 12 >= ey_ - 2;
+    if (overlap && carrier_ == 2) carrier_ = 1;
+
+    float aim = rng.uniform(52.0f, 105.0f);
+    if (carrier_ == 1 && fire) {
+      kvx_ = std::clamp((aim - kx_) / std::max(ky_ - 40.0f, 1.0f) * 4.5f,
+                        -3.0f, 3.0f);
+      kvy_ = -4.5f;
+      carrier_ = 0;
+    } else if (carrier_ == 2 && rng.uniform(0, 1) < 0.0028f) {
+      kvx_ = std::clamp((aim - kx_) / std::max(190.0f - ky_, 1.0f) * 4.5f,
+                        -3.0f, 3.0f);
+      kvy_ = 4.5f;
+      carrier_ = 0;
+    }
+
+    float reward = 0.0f;
+    bool pg = ky_ <= 39 && in_mouth;
+    bool eg = ky_ >= 190 - 3 + 1 && in_mouth;
+    if (pg) reward = 1.0f;
+    if (eg) reward = -1.0f;
+    if (pg || eg) {
+      kx_ = 78; ky_ = 114; kvx_ = kvy_ = 0;
+      carrier_ = 0;
+      faceoff_ = 90;
+    }
+    if (++frame_ >= 12000) *done = true;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    // draw_rect max-blends, so skaters/puck must sit ABOVE the rink luma
+    // to be visible at all (the boxing invisible-opponent bug class —
+    // caught for this game by tests/test_pixel_parity.py): dark rink,
+    // bright entities, unlike the JAX renderer's overwrite compositing.
+    draw_rect(o, 40, 190, 12, 148, 60);  // rink
+    draw_rect(o, 114, 116, 12, 148, 90);  // center line
+    draw_rect(o, 34, 40, 62, 98, 120);  // top goal
+    draw_rect(o, 190, 196, 62, 98, 120);  // bottom goal
+    draw_rect(o, ey_, ey_ + 12, ex_, ex_ + 8, 160);
+    draw_rect(o, py_, py_ + 12, px_, px_ + 8, 200);
+    draw_rect(o, ky_, ky_ + 3, kx_, kx_ + 3, 250);
+  }
+
+ private:
+  float px_, py_, ex_, ey_, kx_, ky_, kvx_, kvy_;
+  int carrier_, frame_, faceoff_;
+};
+
+// ------------------------------------------------------- crazy climber ----
+// Mirrors dqn_zoo_tpu/envs/games/crazy_climber.py: 7-column window grid,
+// shuttered windows block UP, falling pots knock the climber down; 5 lives.
+class CrazyClimber : public Game {
+ public:
+  int num_actions() const override { return 9; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    col_ = rng.randint(0, 7);
+    row_ = move_cd_ = 0;
+    for (int c = 0; c < 7; ++c) phase_[c] = rng.randint(0, 180);
+    for (int i = 0; i < 3; ++i) { plive_[i] = false; pcol_[i] = 0; py_[i] = 0; }
+    lives_ = 5;
+    building_ = frame_ = pause_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    bool up = action == 1 || action == 5 || action == 6;
+    bool right = action == 2 || action == 5 || action == 7;
+    bool left = action == 3 || action == 6 || action == 8;
+    bool down = action == 4 || action == 7 || action == 8;
+
+    float reward = 0.0f;
+    bool can_move = move_cd_ <= 0;
+    if (move_cd_ > 0) --move_cd_;
+    int old_col = col_, old_row = row_;
+    if (can_move) {
+      col_ = std::clamp(col_ + (right ? 1 : 0) - (left ? 1 : 0), 0, 6);
+      bool closed_above = shut(col_, row_ + 1);
+      int dr = (up && !closed_above ? 1 : 0) - (down ? 1 : 0);
+      row_ = std::clamp(row_ + dr, 0, 24);
+      if (col_ != old_col || row_ != old_row) move_cd_ = 6;
+      if (row_ > old_row) reward += 300.0f;
+    }
+
+    float speed = 2.6f + 0.4f * building_;
+    bool knocked = false;
+    for (int i = 0; i < 3; ++i) {
+      if (!plive_[i] && rng.uniform(0, 1) < 0.02f) {
+        plive_[i] = true;
+        pcol_[i] = rng.uniform(0, 1) < 0.5f ? col_ : rng.randint(0, 7);
+        py_[i] = 0;
+      }
+      if (plive_[i]) {
+        py_[i] += speed;
+        if (py_[i] > 210) plive_[i] = false;
+        else if (pcol_[i] == col_ && py_[i] + 4 >= 150 && py_[i] <= 162) {
+          plive_[i] = false;
+          knocked = true;
+        }
+      }
+    }
+    if (pause_ > 0) { --pause_; knocked = false; }
+    if (knocked) {
+      pause_ = 40;
+      row_ = std::max(row_ - 2, 0);
+      if (--lives_ <= 0) *done = true;
+      else *life_lost = true;
+    }
+    if (row_ >= 24) {
+      reward += 2000.0f;
+      ++building_;
+      row_ = 0;
+    }
+    ++frame_;
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 20, 200, 18, 140, 80);  // building
+    for (int vis = 0; vis < 10; ++vis) {
+      int wrow = row_ + 4 - vis;
+      float y0 = 150.0f - (4 - vis) * 14 - 10;
+      if (wrow < 0 || wrow > 24) continue;
+      for (int c = 0; c < 7; ++c) {
+        float x0 = 26.0f + c * 16;
+        draw_rect(o, y0, y0 + 10, x0, x0 + 14, shut(c, wrow) ? 50 : 210);
+      }
+    }
+    for (int i = 0; i < 3; ++i)
+      if (plive_[i])
+        draw_rect(o, py_[i], py_[i] + 4, 26.0f + pcol_[i] * 16 + 5,
+                  26.0f + pcol_[i] * 16 + 9, 160);
+    float cx = 26.0f + col_ * 16 + 2;
+    draw_rect(o, 150, 162, cx, cx + 10, 250);
+  }
+
+ private:
+  bool shut(int c, int r) const {
+    int ph = (frame_ + phase_[c] + r * 37) % 180;
+    return ph >= 120;
+  }
+  int col_, row_, move_cd_, phase_[7], pcol_[3], lives_, building_, frame_,
+      pause_;
+  float py_[3];
+  bool plive_[3];
+};
+
 #ifdef DZ_WITH_ALE
 // ------------------------------------------------------------ ALE hook ----
 // Full-fidelity backend for all 57 cartridges (parity with the reference's
@@ -2025,6 +2597,11 @@ std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "fishing_derby") return std::make_unique<FishingDerby>();
   if (name == "tennis") return std::make_unique<Tennis>();
   if (name == "gopher") return std::make_unique<Gopher>();
+  if (name == "demon_attack") return std::make_unique<DemonAttack>();
+  if (name == "phoenix") return std::make_unique<Phoenix>();
+  if (name == "assault") return std::make_unique<Assault>();
+  if (name == "ice_hockey") return std::make_unique<IceHockey>();
+  if (name == "crazy_climber") return std::make_unique<CrazyClimber>();
 #ifdef DZ_WITH_ALE
   try {
     return std::make_unique<AleGame>(name);

@@ -71,12 +71,16 @@ def register_game(game: Game) -> Game:
 def get_game(name: str) -> Game:
   # Populate registry lazily to avoid import cycles.
   from dqn_zoo_tpu.envs.games import (asterix, atlantis,  # noqa: F401
+                                      assault,  # noqa: F401
                                       bowling, boxing,  # noqa: F401
                                       breakout, catch,  # noqa: F401
+                                      crazy_climber,  # noqa: F401
+                                      demon_attack,  # noqa: F401
                                       enduro,  # noqa: F401
                                       fishing_derby, freeway,  # noqa: F401
                                       gopher,  # noqa: F401
-                                      ms_pacman, pong,  # noqa: F401
+                                      ice_hockey,  # noqa: F401
+                                      ms_pacman, phoenix, pong,  # noqa: F401
                                       qbert, seaquest,  # noqa: F401
                                       skiing, tennis,  # noqa: F401
                                       space_invaders,  # noqa: F401

@@ -255,7 +255,8 @@ def rainbow_atari_network(num_actions: int, support: jax.Array,
 
 def iqn_atari_network(num_actions: int, latent_dim: int, *,
                       compute_dtype=jnp.float32,
-                      fused_head: bool | None = None) -> Module:
+                      fused_head: bool | None = None,
+                      head_matmul_dtype=None) -> Module:
   """Implicit quantile net (ref networks.py:264-292).
 
   tau embedding: cos(pi·i·tau), i=1..latent_dim → linear(state_dim) → relu;
@@ -289,7 +290,12 @@ def iqn_atari_network(num_actions: int, latent_dim: int, *,
     hd = params["head"]
     args = (we, be, hd["hidden"]["w"], hd["hidden"]["b"], hd["out"]["w"],
             hd["out"]["b"], cos_emb, state_embedding)
-    q_dist = (iqn_head.iqn_head_fused(*args) if use_fused
+    # head_matmul_dtype=bfloat16 runs the fused head's MXU operands in
+    # bf16 with f32 accumulation (params/grads stay f32); the head is
+    # MXU-FLOP-bound, so the operand rate is where IQN's remaining
+    # learn-time lives (see nets/iqn_head._dot). None keeps full f32.
+    mm = head_matmul_dtype or jnp.float32
+    q_dist = (iqn_head.iqn_head_fused(*args, mm=mm) if use_fused
               else iqn_head.iqn_head_xla(*args))
     q_values = jnp.mean(q_dist, axis=1)
     return IqnOutputs(q_values=jax.lax.stop_gradient(q_values), q_dist=q_dist)

@@ -89,12 +89,23 @@ def _semb_spec(tb, d):
                       memory_space=pltpu.VMEM)
 
 
-def _dot(a, b):
-  return jnp.dot(a, b, preferred_element_type=jnp.float32)
+def _dot(a, b, mm=jnp.float32):
+  """MXU matmul with f32 accumulation; `mm` sets the OPERAND dtype.
+
+  mm=bfloat16 runs the multiplies at the MXU's native-bf16 rate (~2-3x the
+  f32-as-multi-pass rate) while preferred_element_type keeps a float32
+  accumulator — standard mixed precision: weights/grads stay f32 in HBM,
+  only the in-kernel operands round. The head chain is MXU-FLOP-bound
+  (rows·D·H ≈ 0.42 TFLOP/apply at training shapes ≈ the whole measured
+  learn-time at the f32 rate), so this is where IQN's remaining 2x lives —
+  NOT in HBM traffic, which the tiling already eliminated.
+  """
+  return jnp.dot(a.astype(mm), b.astype(mm),
+                 preferred_element_type=jnp.float32)
 
 
-def _dot_t(a, b, dims):
-  return jax.lax.dot_general(a, b, (dims, ((), ())),
+def _dot_t(a, b, dims, mm=jnp.float32):
+  return jax.lax.dot_general(a.astype(mm), b.astype(mm), (dims, ((), ())),
                              preferred_element_type=jnp.float32)
 
 
@@ -102,16 +113,16 @@ def _dot_t(a, b, dims):
 
 
 def _fwd_kernel(cos_ref, semb_ref, we_ref, be_ref, wh_ref, bh_ref, wo_ref,
-                bo_ref, q_ref, h_ref, *, tb, s):
+                bo_ref, q_ref, h_ref, *, tb, s, mm):
   e = _expand_matrix(pl.program_id(0), tb, s)
-  te = jax.nn.relu(_dot(cos_ref[:], we_ref[:]) + be_ref[:])
+  te = jax.nn.relu(_dot(cos_ref[:], we_ref[:], mm) + be_ref[:])
   hi = te * _dot(e, semb_ref[:])
-  h = jax.nn.relu(_dot(hi, wh_ref[:]) + bh_ref[:])
+  h = jax.nn.relu(_dot(hi, wh_ref[:], mm) + bh_ref[:])
   h_ref[:] = h
-  q_ref[:] = _dot(h, wo_ref[:]) + bo_ref[:]
+  q_ref[:] = _dot(h, wo_ref[:], mm) + bo_ref[:]
 
 
-def _fwd_call(we, be, wh, bh, wo, bo, cos_emb, s_emb, interpret):
+def _fwd_call(we, be, wh, bh, wo, bo, cos_emb, s_emb, interpret, mm):
   rows, l = cos_emb.shape
   b, d = s_emb.shape
   s = rows // b
@@ -120,7 +131,7 @@ def _fwd_call(we, be, wh, bh, wo, bo, cos_emb, s_emb, interpret):
   tb = _pick_tb(s)
   m = tb * s
   q, h = pl.pallas_call(
-      functools.partial(_fwd_kernel, tb=tb, s=s),
+      functools.partial(_fwd_kernel, tb=tb, s=s, mm=mm),
       grid=(b // tb,),
       in_specs=[
           _rows(m, l), _semb_spec(tb, d),
@@ -142,13 +153,13 @@ def _fwd_call(we, be, wh, bh, wo, bo, cos_emb, s_emb, interpret):
 
 
 def _bwd_w_kernel(cos_ref, semb_ref, dh_ref, we_ref, be_ref, dwh_ref,
-                  dbh_ref, *, tb, s):
+                  dbh_ref, *, tb, s, mm):
   i = pl.program_id(0)
   e = _expand_matrix(i, tb, s)
-  te = jax.nn.relu(_dot(cos_ref[:], we_ref[:]) + be_ref[:])
+  te = jax.nn.relu(_dot(cos_ref[:], we_ref[:], mm) + be_ref[:])
   hi = te * _dot(e, semb_ref[:])
   dh = dh_ref[:]
-  dwh = _dot_t(hi, dh, ((0,), (0,)))  # hiᵀ @ dh
+  dwh = _dot_t(hi, dh, ((0,), (0,)), mm)  # hiᵀ @ dh
   dbh = jnp.sum(dh, axis=0, keepdims=True)
 
   @pl.when(i == 0)
@@ -162,7 +173,7 @@ def _bwd_w_kernel(cos_ref, semb_ref, dh_ref, we_ref, be_ref, dwh_ref,
     dbh_ref[:] += dbh
 
 
-def _bwd_w_call(we, be, cos_emb, s_emb, dh, interpret):
+def _bwd_w_call(we, be, cos_emb, s_emb, dh, interpret, mm):
   rows, l = cos_emb.shape
   b, d = s_emb.shape
   s = rows // b
@@ -170,7 +181,7 @@ def _bwd_w_call(we, be, cos_emb, s_emb, dh, interpret):
   tb = _pick_tb(s)
   m = tb * s
   dwh, dbh = pl.pallas_call(
-      functools.partial(_bwd_w_kernel, tb=tb, s=s),
+      functools.partial(_bwd_w_kernel, tb=tb, s=s, mm=mm),
       grid=(b // tb,),
       in_specs=[
           _rows(m, l), _semb_spec(tb, d), _rows(m, h_dim),
@@ -190,12 +201,12 @@ def _bwd_w_call(we, be, cos_emb, s_emb, dh, interpret):
 
 
 def _bwd_d_kernel(cos_ref, semb_ref, dh_ref, we_ref, be_ref, wh_ref,
-                  dwe_ref, dbe_ref, dsemb_ref, dcos_ref, *, tb, s):
+                  dwe_ref, dbe_ref, dsemb_ref, dcos_ref, *, tb, s, mm):
   i = pl.program_id(0)
   e = _expand_matrix(i, tb, s)
-  te_pre = _dot(cos_ref[:], we_ref[:]) + be_ref[:]
+  te_pre = _dot(cos_ref[:], we_ref[:], mm) + be_ref[:]
   te = jax.nn.relu(te_pre)
-  dhi = _dot_t(dh_ref[:], wh_ref[:], ((1,), (1,)))  # dh @ whᵀ
+  dhi = _dot_t(dh_ref[:], wh_ref[:], ((1,), (1,)), mm)  # dh @ whᵀ
   # Eᵀ @ (dhi·te): rows of streams outside this tile come out zero, so the
   # 8-stream dsemb block accumulates correctly over its 8/TB visiting tiles
   # (consecutive, so the block stays resident).
@@ -210,9 +221,9 @@ def _bwd_d_kernel(cos_ref, semb_ref, dh_ref, we_ref, be_ref, wh_ref,
     dsemb_ref[:] += dsemb
 
   dte = jnp.where(te_pre > 0, dhi * _dot(e, semb_ref[:]), 0.0)
-  dwe = _dot_t(cos_ref[:], dte, ((0,), (0,)))  # cosᵀ @ dte
+  dwe = _dot_t(cos_ref[:], dte, ((0,), (0,)), mm)  # cosᵀ @ dte
   dbe = jnp.sum(dte, axis=0, keepdims=True)
-  dcos_ref[:] = _dot_t(dte, we_ref[:], ((1,), (1,)))  # dte @ weᵀ
+  dcos_ref[:] = _dot_t(dte, we_ref[:], ((1,), (1,)), mm)  # dte @ weᵀ
 
   @pl.when(i == 0)
   def _():
@@ -225,7 +236,7 @@ def _bwd_d_kernel(cos_ref, semb_ref, dh_ref, we_ref, be_ref, wh_ref,
     dbe_ref[:] += dbe
 
 
-def _bwd_d_call(we, be, wh, cos_emb, s_emb, dh, interpret):
+def _bwd_d_call(we, be, wh, cos_emb, s_emb, dh, interpret, mm):
   rows, l = cos_emb.shape
   b, d = s_emb.shape
   s = rows // b
@@ -233,7 +244,7 @@ def _bwd_d_call(we, be, wh, cos_emb, s_emb, dh, interpret):
   tb = _pick_tb(s)
   m = tb * s
   dwe, dbe, dsemb, dcos = pl.pallas_call(
-      functools.partial(_bwd_d_kernel, tb=tb, s=s),
+      functools.partial(_bwd_d_kernel, tb=tb, s=s, mm=mm),
       grid=(b // tb,),
       in_specs=[
           _rows(m, l), _semb_spec(tb, d), _rows(m, h_dim),
@@ -256,28 +267,30 @@ def _bwd_d_call(we, be, wh, cos_emb, s_emb, dh, interpret):
 # --- custom-vjp op ----------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def iqn_head_fused(we, be, wh, bh, wo, bo, cos_emb, s_emb,
-                   interpret=False):
+                   interpret=False, mm=jnp.float32):
   """q (B, S, A) from cosine τ features and the torso embedding.
 
   cos_emb: (B, S, latent); s_emb: (B, D), broadcast over each stream's τ
-  samples. B and S must be multiples of 8 (see fused_shapes_ok).
+  samples. B and S must be multiples of 8 (see fused_shapes_ok). `mm` is
+  the MXU operand dtype for the heavy matmuls (see _dot); accumulation and
+  all stored tensors stay float32.
   """
   b, s, l = cos_emb.shape
   q, _ = _fwd_call(we, be, wh, bh, wo, bo, cos_emb.reshape(b * s, l),
-                   s_emb, interpret)
+                   s_emb, interpret, mm)
   return q.reshape(b, s, -1)
 
 
-def _iqn_head_fwd(we, be, wh, bh, wo, bo, cos_emb, s_emb, interpret):
+def _iqn_head_fwd(we, be, wh, bh, wo, bo, cos_emb, s_emb, interpret, mm):
   b, s, l = cos_emb.shape
   q, h = _fwd_call(we, be, wh, bh, wo, bo, cos_emb.reshape(b * s, l),
-                   s_emb, interpret)
+                   s_emb, interpret, mm)
   return q.reshape(b, s, -1), (we, be, wh, wo, cos_emb, s_emb, h)
 
 
-def _iqn_head_bwd(interpret, res, dq):
+def _iqn_head_bwd(interpret, mm, res, dq):
   we, be, wh, wo, cos_emb, s_emb, h = res
   b, s, l = cos_emb.shape
   cos2 = cos_emb.reshape(b * s, l)
@@ -287,9 +300,9 @@ def _iqn_head_bwd(interpret, res, dq):
   dbo = jnp.sum(dq2, axis=0)
   dh = jnp.dot(dq2, wo.T, preferred_element_type=jnp.float32)
   dh = jnp.where(h > 0, dh, 0.0)
-  dwh, dbh = _bwd_w_call(we, be, cos2, s_emb, dh, interpret)
+  dwh, dbh = _bwd_w_call(we, be, cos2, s_emb, dh, interpret, mm)
   dwe, dbe, dsemb, dcos = _bwd_d_call(we, be, wh, cos2, s_emb, dh,
-                                      interpret)
+                                      interpret, mm)
   return dwe, dbe, dwh, dbh, dwo, dbo, dcos.reshape(b, s, l), dsemb
 
 

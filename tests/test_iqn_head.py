@@ -110,3 +110,37 @@ def test_network_uses_fused_head_consistently():
   np.testing.assert_allclose(np.asarray(out_f.q_values),
                              np.asarray(out_x.q_values), rtol=1e-5,
                              atol=1e-5)
+
+
+@pytest.mark.parametrize("b,s,a", [(8, 16, 6)])
+def test_bf16_matmul_close_to_f32(b, s, a):
+  """head_matmul_dtype=bfloat16 keeps f32 accumulation: outputs and grads
+  must track the f32 oracle within bf16 rounding (relative ~1e-2), with
+  grad DIRECTIONS essentially unchanged (cosine > 0.995) — the mixed-
+  precision contract the TPU default relies on."""
+  args = _make(b, s, a, jax.random.PRNGKey(3))
+  pos = tuple(args[k] for k in ORDER)
+  w = jax.random.normal(jax.random.PRNGKey(4), (b, s, a))
+
+  def loss(mm):
+    def f(*p):
+      return jnp.sum(iqn_head.iqn_head_fused(
+          *p, interpret=True, mm=mm) * w)
+    return f
+
+  q32 = iqn_head.iqn_head_fused(*pos, interpret=True)
+  q16 = iqn_head.iqn_head_fused(*pos, interpret=True, mm=jnp.bfloat16)
+  assert q16.dtype == jnp.float32  # f32 accumulate/output
+  ref_scale = float(np.abs(np.asarray(q32)).mean())
+  np.testing.assert_allclose(np.asarray(q16), np.asarray(q32),
+                             rtol=0.05, atol=0.05 * ref_scale)
+
+  argnums = tuple(range(len(ORDER)))
+  g32 = jax.grad(loss(jnp.float32), argnums)(*pos)
+  g16 = jax.grad(loss(jnp.bfloat16), argnums)(*pos)
+  for name, a32, a16 in zip(ORDER, g32, g16):
+    v32 = np.asarray(a32).ravel()
+    v16 = np.asarray(a16).ravel()
+    cos = float(np.dot(v32, v16)
+                / max(np.linalg.norm(v32) * np.linalg.norm(v16), 1e-12))
+    assert cos > 0.995, f"{name}: grad cosine {cos}"

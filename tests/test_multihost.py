@@ -21,8 +21,12 @@ def _free_port():
   return port
 
 
-@pytest.mark.timeout(600)
 def test_two_process_training():
+  # Hang guard is manual (pytest-timeout isn't installed, so a
+  # @pytest.mark.timeout would be silently inert): communicate(timeout=)
+  # bounds each wait, and the finally-kill reaps both workers so a hung
+  # rendezvous can neither stall the suite past ~9.5 min nor leak
+  # processes that keep the distributed port busy for later tests.
   port = _free_port()
   worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
   env = dict(os.environ)
@@ -36,9 +40,15 @@ def test_two_process_training():
       for i in range(2)
   ]
   outs = []
-  for p in procs:
-    out, _ = p.communicate(timeout=560)
-    outs.append(out)
+  try:
+    for p in procs:
+      out, _ = p.communicate(timeout=560)
+      outs.append(out)
+  finally:
+    for p in procs:
+      if p.poll() is None:
+        p.kill()
+        p.communicate()
   for i, (p, out) in enumerate(zip(procs, outs)):
     assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
     assert "MULTIHOST_OK" in out, out[-2000:]

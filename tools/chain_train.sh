@@ -28,7 +28,7 @@ for i in $(seq 1 "$RUNS"); do
     --num_eval_frames=500000 --eval_num_envs=16 \
     --max_run_seconds="$BUDGET" --save_interval_seconds="$SAVE_EVERY" \
     --checkpoint_path="$CKPT" --results_csv_path="$CSV" \
-    --checkpoint_replay=false --checkpoint_period=1 &
+    --checkpoint_replay=false --checkpoint_period=1 ${EXTRA_FLAGS:-} &
   echo $! > "$PIDFILE"
   wait $!
   rc=$?
