@@ -48,6 +48,11 @@ class HostEnvEngine:
   def __init__(self, config: EngineConfig, env: CppVectorEnv):
     if env.batch_size != config.num_envs:
       raise ValueError("env.batch_size must match config.num_envs")
+    # The host env is authoritative for the action set — this also makes
+    # ALE-only cartridges (no JAX-native game) work: the fused engine then
+    # skips its on-device env and sizes the network from num_actions.
+    import dataclasses
+    config = dataclasses.replace(config, num_actions=env.num_actions)
     self._fused = Engine(config)  # reuse its network/optimizer/schedules
     self.config = config
     self.spec = config.agent

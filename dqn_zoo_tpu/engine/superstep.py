@@ -60,6 +60,21 @@ class EngineConfig:
   resize_method: str = "fast"
   # Mesh axis name for gradient psum; None on a single device.
   pmap_axis: Optional[str] = None
+  # Overlap mode (RESULTS.md roadmap 3): learn samples the PRE-insert
+  # replay, which breaks the data dependence between the env/prep/render
+  # subgraph and the learn matmuls so XLA's scheduler can interleave them
+  # (a single TensorCore runs one instruction stream — "overlap" here means
+  # filling the learn block's non-MXU gaps with env vector work, which the
+  # insert→learn ordering otherwise forbids). Semantics shift: a sampled
+  # batch can't contain the row inserted THIS superstep — a 1-row-per-
+  # stream staleness in a ~1M-row buffer (the reference adds then learns,
+  # dqn/agent.py:146-153, so parity mode keeps this False).
+  overlap_env_learn: bool = False
+  # Action-set size override for games with NO JAX-native implementation
+  # (ALE-only cartridges driven through engine/host_env.py): the fused
+  # engine then skips building the on-device env and sizes the network
+  # from this. 0 = resolve from the JAX-native registry.
+  num_actions: int = 0
   # Number of identical shards running this engine (multi-chip data
   # parallelism): schedule clocks (ε, β, target swaps, min-fill) are driven
   # by LOCAL counters scaled by this factor, so no collective is needed to
@@ -155,9 +170,23 @@ class Engine:
   def __init__(self, config: EngineConfig):
     self.config = config
     self.spec = config.agent
-    self.game = get_game(config.game)
-    self.env = VectorAtariEnv(self.game, config.num_envs, config.env_config)
-    self.network = self.spec.make_network(self.spec, self.game.num_actions)
+    try:
+      self.game = get_game(config.game)
+    except KeyError:
+      # ALE-only cartridge: legal when the caller supplies the action-set
+      # size (engine/host_env.py does) — the host env replaces the
+      # on-device one, everything else (nets, replay, schedules) is shared.
+      if config.num_actions <= 0:
+        raise
+      self.game = None
+    if self.game is not None:
+      self.env = VectorAtariEnv(self.game, config.num_envs,
+                                config.env_config)
+      num_actions = self.game.num_actions
+    else:
+      self.env = None
+      num_actions = config.num_actions
+    self.network = self.spec.make_network(self.spec, num_actions)
     self.optimizer = make_optimizer(self.spec)
     self.rcfg = config.replay_config()
 
@@ -206,7 +235,9 @@ class Engine:
     # the whole state into each train chunk, and XLA rejects donating one
     # buffer twice. Hence the explicit target copy and per-field zeros.
     return EngineState(
-        env=self.env.init(env_key),
+        # None (empty subtree) for ALE-only cartridges: the host engine
+        # discards this leaf and steps its own env (engine/host_env.py).
+        env=self.env.init(env_key) if self.env is not None else None,
         stack=prep.frame_stack_init(b),
         pending=PendingRow(
             frame=jnp.zeros((b, 84, 84), jnp.uint8),
@@ -281,16 +312,24 @@ class Engine:
                                     state.online_params, act_key, obs, eps)
 
     # 2. insert the pending row, now that its action exists (unconditional:
-    # the pre-first-step pending row is terminal ⇒ inert).
-    replay = dr.replay_insert(
-        self.rcfg, state.replay,
-        frame=state.pending.frame,
-        stack_count=state.pending.stack_count,
-        action=actions,
-        reward=state.pending.reward,
-        discount=state.pending.discount,
-        is_terminal=state.pending.is_terminal,
-    )
+    # the pre-first-step pending row is terminal ⇒ inert). In overlap mode
+    # the insert moves AFTER the learn block (see EngineConfig
+    # .overlap_env_learn): learn reads the pre-insert replay, so the env/
+    # prep subgraph below carries no data dependence on the learn matmuls
+    # and XLA may interleave them.
+    def do_insert(rep):
+      return dr.replay_insert(
+          self.rcfg, rep,
+          frame=state.pending.frame,
+          stack_count=state.pending.stack_count,
+          action=actions,
+          reward=state.pending.reward,
+          discount=state.pending.discount,
+          is_terminal=state.pending.is_terminal,
+      )
+
+    replay = state.replay if cfg.overlap_env_learn else do_insert(
+        state.replay)
 
     # 3-4. env step + preprocessing.
     env_state, out = self.env.step(state.env, actions)
@@ -343,6 +382,10 @@ class Engine:
         can_learn, learn, no_learn,
         (state.online_params, state.opt_state, replay.value_tree))
     replay = replay._replace(value_tree=value_tree)
+    if cfg.overlap_env_learn:
+      # Deferred insert: lands on the priority-updated trees, keeping the
+      # tree writes of learn and insert strictly ordered.
+      replay = do_insert(replay)
 
     # 7. target swap on frame-count boundary crossings (ref
     # dqn/agent.py:155-156: frame_t % period == 0, generalized to streams;

@@ -147,3 +147,48 @@ def test_target_swap_happens():
       lambda a, b: float(jnp.abs(a - b).max()),
       state.target_params, init_state.target_params)
   assert max(jax.tree_util.tree_leaves(diff)) > 0.0
+
+
+def test_overlap_mode_runs_learns_and_matches_accounting():
+  """overlap_env_learn=True (learn samples the pre-insert replay so the
+  env subgraph is schedulable inside the learn block) must preserve the
+  training loop's observable accounting: frames, learn steps, finite loss,
+  and — because the only semantic change is one superstep of sampling
+  staleness — it must still learn catch."""
+  import dataclasses
+  eng = tiny_engine(overlap_env_learn=True)
+  assert eng.config.overlap_env_learn
+  state = eng.init(jax.random.PRNGKey(0))
+  run = jax.jit(functools.partial(eng.run, num_supersteps=8))
+  state = run(state)
+  state = run(state)
+  m = eng.metrics(state)
+  assert int(m.env_frames) > 0
+  assert int(m.learn_steps) > 0
+  assert np.isfinite(float(m.last_loss))
+  # Same frames/learn cadence as the default ordering at equal supersteps.
+  eng0 = tiny_engine()
+  s0 = eng0.init(jax.random.PRNGKey(0))
+  run0 = jax.jit(functools.partial(eng0.run, num_supersteps=8))
+  s0 = run0(run0(s0))
+  m0 = eng0.metrics(s0)
+  assert int(m.env_frames) == int(m0.env_frames)
+  assert int(m.learn_steps) in (int(m0.learn_steps) - 1,
+                                int(m0.learn_steps),
+                                int(m0.learn_steps) + 1)
+
+
+def test_overlap_mode_prioritized_priorities_flow():
+  """PER tree writes stay ordered in overlap mode: priority updates from
+  learn land first, the deferred insert after — sampling still works and
+  max_seen_priority still tracks."""
+  eng = tiny_engine("prioritized")
+  enc = tiny_engine("prioritized", overlap_env_learn=True)
+  for e in (eng, enc):
+    state = e.init(jax.random.PRNGKey(1))
+    run = jax.jit(functools.partial(e.run, num_supersteps=24))
+    state = run(state)
+    m = e.metrics(state)
+    assert int(m.learn_steps) > 0
+    assert np.isfinite(float(m.last_loss))
+    assert int(m.replay_size) > 0

@@ -29,7 +29,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 FRAMES_PER_ITER = 8000
 EVAL_FRAMES = 4000
-ITERS = 6  # 48k train frames total
+ITERS = int(os.environ.get("ITERS", "12"))  # 12 → 96k train frames
 SEED = 3
 
 
