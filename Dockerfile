@@ -31,6 +31,20 @@ RUN if [ "$RUN_TESTS" = "1" ]; then \
       PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -x; \
     fi
 
+# Build-time TRAINING smoke (the reference ends its check with a short real
+# training run, run.sh:62-74 / Dockerfile:45-62): two tiny iterations of
+# DQN on pong through the full CLI on CPU, mirroring the reference's
+# shrunk-flag run (replay 1000, 10x1000 frames).
+ARG RUN_TRAIN_SMOKE=1
+RUN if [ "$RUN_TRAIN_SMOKE" = "1" ]; then \
+      PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m dqn_zoo_tpu.run.train \
+        --agent=dqn --environment_name=pong --num_envs=4 \
+        --replay_capacity=1024 --num_iterations=2 --num_train_frames=2000 \
+        --num_eval_frames=800 --max_frames_per_episode=2000 --batch_size=8 \
+        --eval_num_envs=2 --results_csv_path=/tmp/train_smoke.csv && \
+      test "$(wc -l < /tmp/train_smoke.csv)" -ge 3; \
+    fi
+
 # Executable container: `docker run dqn_zoo_tpu:latest -m
 # dqn_zoo_tpu.run.train --agent=dqn --environment_name=pong ...`
 ENTRYPOINT ["python"]
