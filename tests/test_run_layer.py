@@ -112,3 +112,23 @@ def test_plot_writes_svg(tmp_path):
   assert plot.main(["--csv", path, "--labels", "x", "--out", out]) == 0
   assert os.path.exists(out)
   assert open(out).read().startswith("<?xml")
+
+
+def test_plot_summary_median_across_games(tmp_path):
+  """Summary mode: median capped-normalized return per agent across its
+  games (the plot_atari_summary.svg analogue, ref README.md:28-30)."""
+  paths = []
+  for g, vals in (("a", [0.0, 0.2, 0.6]), ("b", [0.0, 0.4, 1.0])):
+    path = str(tmp_path / f"{g}.csv")
+    with open(path, "w") as f:
+      wr = csv.DictWriter(f, fieldnames=["frame",
+                                         "capped_normalized_return"])
+      wr.writeheader()
+      for i, v in enumerate(vals):
+        wr.writerow({"frame": i * 1000, "capped_normalized_return": v})
+    paths.append(path)
+  out = str(tmp_path / "summary.svg")
+  from dqn_zoo_tpu.run import plot
+  assert plot.main(["--summary", "--csv", paths[0], "--csv", paths[1],
+                    "--labels", "agent,agent", "--out", out]) == 0
+  assert open(out).read().startswith("<?xml")
