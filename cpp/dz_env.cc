@@ -2510,6 +2510,241 @@ class CrazyClimber : public Game {
   bool plive_[3];
 };
 
+// ---------------------------------------------------------- beam rider ----
+// Mirrors dqn_zoo_tpu/envs/games/beam_rider.py: lane-locked ship on 5
+// beams, saucers stream down, limited torpedoes, 3 lives.
+class BeamRider : public Game {
+ public:
+  int num_actions() const override { return 9; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    beam_ = rng.randint(0, 5);
+    hop_cd_ = 0;
+    for (int i = 0; i < 3; ++i) slive_[i] = false;
+    shot_live_ = false;
+    torps_ = 3;
+    lives_ = 3;
+    sector_ = kills_ = pause_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    bool right = action == 3 || action == 5 || action == 7;
+    bool left = action == 4 || action == 6 || action == 8;
+    bool fire = action == 1 || action == 7 || action == 8;
+    bool torp = action == 2 || action == 5 || action == 6;
+    if (hop_cd_ > 0) --hop_cd_;
+    if (hop_cd_ <= 0 && (right || left)) {
+      int nb = std::clamp(beam_ + (right ? 1 : 0) - (left ? 1 : 0), 0, 4);
+      if (nb != beam_) { beam_ = nb; hop_cd_ = 8; }
+    }
+
+    float speed = 1.1f + 0.25f * sector_;
+    float reward = 0.0f;
+    for (int i = 0; i < 3; ++i) {
+      if (slive_[i]) {
+        sy_[i] += speed;
+        if (sy_[i] > 200) slive_[i] = false;
+      } else if (rng.uniform(0, 1) < 0.025f) {
+        slive_[i] = true;
+        sbeam_[i] = rng.randint(0, 5);
+        sy_[i] = 48.0f;
+      }
+    }
+
+    if (fire && !shot_live_) {
+      shot_live_ = true;
+      shot_beam_ = beam_;
+      shot_y_ = 178.0f;
+    }
+    if (shot_live_) {
+      shot_y_ -= 6.0f;
+      if (shot_y_ < 44) shot_live_ = false;
+      for (int i = 2; i >= 0 && shot_live_; --i) {
+        if (slive_[i] && sbeam_[i] == shot_beam_ && shot_y_ <= sy_[i] + 6 &&
+            shot_y_ + 6 >= sy_[i]) {
+          slive_[i] = false;
+          shot_live_ = false;
+          reward += 44.0f;
+          ++kills_;
+        }
+      }
+    }
+    if (torp && torps_ > 0) {
+      --torps_;
+      for (int i = 0; i < 3; ++i)
+        if (slive_[i] && sbeam_[i] == beam_) {
+          slive_[i] = false;
+          reward += 80.0f;
+          ++kills_;
+        }
+    }
+
+    bool crash = false;
+    for (int i = 0; i < 3; ++i)
+      if (slive_[i] && sbeam_[i] == beam_ && sy_[i] + 6 >= 180) {
+        slive_[i] = false;
+        crash = true;
+      }
+    if (pause_ > 0) { --pause_; crash = false; }
+    if (crash) {
+      pause_ = 35;
+      if (--lives_ <= 0) *done = true;
+      else *life_lost = true;
+    }
+    if (kills_ >= 15) { kills_ = 0; ++sector_; torps_ = 3; }
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    static const float kBx[5] = {24, 52, 80, 108, 136};
+    for (int b = 0; b < 5; ++b) draw_rect(o, 48, 196, kBx[b] - 1,
+                                          kBx[b] + 1, 70);
+    for (int i = 0; i < 3; ++i)
+      if (slive_[i])
+        draw_rect(o, sy_[i], sy_[i] + 6, kBx[sbeam_[i]] - 6,
+                  kBx[sbeam_[i]] + 6, 220);
+    if (shot_live_)
+      draw_rect(o, shot_y_, shot_y_ + 6, kBx[shot_beam_] - 1,
+                kBx[shot_beam_] + 1, 250);
+    draw_rect(o, 180, 188, kBx[beam_] - 7, kBx[beam_] + 7, 180);
+    for (int i = 0; i < torps_; ++i)
+      draw_rect(o, 36, 42, 8.0f + i * 8, 13.0f + i * 8, 140);
+  }
+
+ private:
+  int beam_, hop_cd_, sbeam_[3], shot_beam_, torps_, lives_, sector_,
+      kills_, pause_;
+  float sy_[3], shot_y_;
+  bool slive_[3], shot_live_;
+};
+
+// ---------------------------------------------------------- star gunner ----
+// Mirrors dqn_zoo_tpu/envs/games/star_gunner.py: free-flying ship on the
+// left half, raiders sweep in from the right with homing bolts; 5 lives.
+class StarGunner : public Game {
+ public:
+  int num_actions() const override { return 18; }
+  int lives() const override { return lives_; }
+
+  void reset(Rng& rng) override {
+    sx_ = 24.0f;
+    sy_ = rng.uniform(60.0f, 166.0f);
+    for (int i = 0; i < 3; ++i) {
+      rlive_[i] = false;
+      rdelay_[i] = 5 + 30 * i;
+      rvy_[i] = 0;
+      blive_[i] = false;
+    }
+    shot_live_ = false;
+    lives_ = 5;
+    kills_ = pause_ = 0;
+  }
+
+  float step(int action, Rng& rng, bool* done, bool* life_lost) override {
+    *done = false;
+    *life_lost = false;
+    bool fire = action == 1 || action >= 10;
+    int a = action >= 10 ? action - 8 : action;
+    float dx = ((a == 3 || a == 6 || a == 8) ? 1.0f : 0.0f) -
+               ((a == 4 || a == 7 || a == 9) ? 1.0f : 0.0f);
+    float dy = ((a == 5 || a == 8 || a == 9) ? 1.0f : 0.0f) -
+               ((a == 2 || a == 6 || a == 7) ? 1.0f : 0.0f);
+    sx_ = std::clamp(sx_ + dx * 2.6f, 8.0f, 76.0f);
+    sy_ = std::clamp(sy_ + dy * 2.6f, 40.0f, 196.0f - 8);
+
+    float speed = 1.3f + 0.3f * (kills_ / 10);
+    float reward = 0.0f;
+    for (int i = 0; i < 3; ++i) {
+      if (!rlive_[i]) {
+        if (--rdelay_[i] <= 0) {
+          rlive_[i] = true;
+          rx_[i] = 152.0f;
+          ry_[i] = rng.uniform(40.0f, 189.0f);
+          rvy_[i] = 0;
+        }
+        continue;
+      }
+      float jink = std::clamp(sy_ - ry_[i], -1.0f, 1.0f) +
+                   rng.uniform(-0.8f, 0.8f);
+      rvy_[i] = 0.8f * rvy_[i] + 0.4f * jink;
+      rx_[i] -= speed;
+      ry_[i] = std::clamp(ry_[i] + rvy_[i], 40.0f, 189.0f);
+    }
+
+    if (fire && !shot_live_) {
+      shot_live_ = true;
+      shot_x_ = sx_ + 12;
+      shot_y_ = sy_ + 4;
+    }
+    if (shot_live_) {
+      shot_x_ += 7.0f;
+      if (shot_x_ > 160) shot_live_ = false;
+      for (int i = 0; i < 3 && shot_live_; ++i) {
+        if (rlive_[i] && shot_x_ + 6 >= rx_[i] && shot_x_ <= rx_[i] + 10 &&
+            shot_y_ >= ry_[i] && shot_y_ <= ry_[i] + 7) {
+          rlive_[i] = false;
+          rdelay_[i] = 70;
+          shot_live_ = false;
+          reward += 100.0f;
+          ++kills_;
+        }
+      }
+    }
+
+    bool destroyed = false;
+    for (int i = 0; i < 3; ++i) {
+      if (rlive_[i] && !blive_[i] && rng.uniform(0, 1) < 0.02f) {
+        blive_[i] = true;
+        bx_[i] = rx_[i];
+        by_[i] = ry_[i] + 3;
+      }
+      if (blive_[i]) {
+        bx_[i] -= 2.4f;
+        by_[i] += std::clamp(sy_ + 4 - by_[i], -1.2f, 1.2f);
+        if (bx_[i] < 2) blive_[i] = false;
+        else if (bx_[i] <= sx_ + 12 && bx_[i] + 3 >= sx_ &&
+                 by_[i] + 3 >= sy_ && by_[i] <= sy_ + 8)
+          destroyed = true;
+      }
+      if (rlive_[i]) {
+        bool ram = rx_[i] <= sx_ + 12 && rx_[i] + 10 >= sx_ &&
+                   ry_[i] + 7 >= sy_ && ry_[i] <= sy_ + 8;
+        if (ram) { rlive_[i] = false; rdelay_[i] = 70; destroyed = true; }
+        else if (rx_[i] < 8) { rlive_[i] = false; rdelay_[i] = 70; }
+      }
+    }
+    if (pause_ > 0) { --pause_; destroyed = false; }
+    if (destroyed) {
+      for (int i = 0; i < 3; ++i) blive_[i] = false;
+      pause_ = 35;
+      if (--lives_ <= 0) *done = true;
+      else *life_lost = true;
+    }
+    return reward;
+  }
+
+  void render(uint8_t* o) const override {
+    draw_rect(o, 36, 38, 0, 160, 80);  // star band
+    for (int i = 0; i < 3; ++i) {
+      if (rlive_[i]) draw_rect(o, ry_[i], ry_[i] + 7, rx_[i], rx_[i] + 10,
+                               200);
+      if (blive_[i]) draw_rect(o, by_[i], by_[i] + 3, bx_[i], bx_[i] + 3,
+                               160);
+    }
+    if (shot_live_)
+      draw_rect(o, shot_y_ - 1, shot_y_ + 1, shot_x_, shot_x_ + 6, 250);
+    draw_rect(o, sy_, sy_ + 8, sx_, sx_ + 12, 140);
+  }
+
+ private:
+  float sx_, sy_, rx_[3], ry_[3], rvy_[3], bx_[3], by_[3], shot_x_, shot_y_;
+  bool rlive_[3], blive_[3], shot_live_;
+  int rdelay_[3], lives_, kills_, pause_;
+};
+
 #ifdef DZ_WITH_ALE
 // ------------------------------------------------------------ ALE hook ----
 // Full-fidelity backend for all 57 cartridges (parity with the reference's
@@ -2602,6 +2837,8 @@ std::unique_ptr<Game> make_game(const std::string& name) {
   if (name == "assault") return std::make_unique<Assault>();
   if (name == "ice_hockey") return std::make_unique<IceHockey>();
   if (name == "crazy_climber") return std::make_unique<CrazyClimber>();
+  if (name == "beam_rider") return std::make_unique<BeamRider>();
+  if (name == "star_gunner") return std::make_unique<StarGunner>();
 #ifdef DZ_WITH_ALE
   try {
     return std::make_unique<AleGame>(name);

@@ -72,6 +72,7 @@ def get_game(name: str) -> Game:
   # Populate registry lazily to avoid import cycles.
   from dqn_zoo_tpu.envs.games import (asterix, atlantis,  # noqa: F401
                                       assault,  # noqa: F401
+                                      beam_rider,  # noqa: F401
                                       bowling, boxing,  # noqa: F401
                                       breakout, catch,  # noqa: F401
                                       crazy_climber,  # noqa: F401
@@ -82,7 +83,8 @@ def get_game(name: str) -> Game:
                                       ice_hockey,  # noqa: F401
                                       ms_pacman, phoenix, pong,  # noqa: F401
                                       qbert, seaquest,  # noqa: F401
-                                      skiing, tennis,  # noqa: F401
+                                      skiing, star_gunner,  # noqa: F401
+                                      tennis,  # noqa: F401
                                       space_invaders,  # noqa: F401
                                       zaxxon)  # noqa: F401
   if name not in _REGISTRY:

@@ -292,3 +292,76 @@ def test_random_play_score_scale_vs_anchors():
     assert lo <= mean <= hi, (name, mean, eps)
     # Normalized |score| of random play stays well under 0.5.
     assert abs(anchor) < 0.5, (name, mean, anchor)
+
+
+# --- beam_rider / star_gunner (round-5b) ------------------------------------
+
+
+def test_beam_rider_lane_shot_and_torpedo():
+  from dqn_zoo_tpu.envs.games import beam_rider as br
+  state = br.beam_rider_init(jax.random.PRNGKey(0))
+  # Saucer on the ship's beam in the laser's path.
+  state = state._replace(
+      ship_beam=jnp.asarray(2, jnp.int32),
+      saucer_beam=state.saucer_beam.at[0].set(2),
+      saucer_y=state.saucer_y.at[0].set(100.0),
+      saucer_live=state.saucer_live.at[0].set(True),
+      shot_beam=jnp.asarray(2, jnp.int32),
+      shot_y=jnp.asarray(104.0, jnp.float32),
+      shot_live=jnp.asarray(True))
+  s2, reward, _, _ = br.beam_rider_step(state, jnp.asarray(0))
+  assert float(reward) == br.SAUCER_POINTS
+  assert not bool(s2.saucer_live[0])
+  # Torpedo (UP) clears the beam and decrements the stock.
+  state = br.beam_rider_init(jax.random.PRNGKey(1))
+  state = state._replace(
+      ship_beam=jnp.asarray(1, jnp.int32),
+      saucer_beam=state.saucer_beam.at[:].set(1),
+      saucer_y=state.saucer_y.at[:].set(90.0),
+      saucer_live=jnp.ones_like(state.saucer_live))
+  s3, reward, _, _ = br.beam_rider_step(state, jnp.asarray(2))
+  assert float(reward) == br.TORPEDO_POINTS * br.NUM_SAUCERS
+  assert int(s3.torpedoes) == br.TORPEDOES_PER_SECTOR - 1
+  assert not bool(s3.saucer_live.any())
+  # Without stock, UP does nothing.
+  s4, reward, _, _ = br.beam_rider_step(
+      s3._replace(torpedoes=jnp.asarray(0, jnp.int32)), jnp.asarray(2))
+  assert int(s4.torpedoes) == 0
+
+
+def test_beam_rider_collision_costs_life():
+  from dqn_zoo_tpu.envs.games import beam_rider as br
+  state = br.beam_rider_init(jax.random.PRNGKey(0))
+  state = state._replace(
+      ship_beam=jnp.asarray(3, jnp.int32),
+      saucer_beam=state.saucer_beam.at[0].set(3),
+      saucer_y=state.saucer_y.at[0].set(br.SHIP_Y - 2.0),
+      saucer_live=state.saucer_live.at[0].set(True))
+  s2, _, done, life_lost = br.beam_rider_step(state, jnp.asarray(0))
+  assert int(s2.lives) == br.LIVES - 1
+  assert bool(life_lost) and not bool(done)
+
+
+def test_star_gunner_kill_and_bolt():
+  from dqn_zoo_tpu.envs.games import star_gunner as sg
+  state = sg.star_gunner_init(jax.random.PRNGKey(0))
+  state = state._replace(
+      sx=jnp.asarray(30.0, jnp.float32), sy=jnp.asarray(100.0, jnp.float32),
+      rx=state.rx.at[0].set(80.0), ry=state.ry.at[0].set(100.0),
+      rlive=state.rlive.at[0].set(True),
+      shot_x=jnp.asarray(72.0, jnp.float32),
+      shot_y=jnp.asarray(104.0, jnp.float32),
+      shot_live=jnp.asarray(True))
+  s2, reward, _, _ = sg.star_gunner_step(state, jnp.asarray(0))
+  assert float(reward) == sg.RAIDER_POINTS
+  assert not bool(s2.rlive[0])
+  assert int(s2.wave) == 1  # kill counter drives the difficulty ramp
+  # Bolt on the ship: life lost.
+  state = sg.star_gunner_init(jax.random.PRNGKey(1))
+  state = state._replace(
+      sx=jnp.asarray(30.0, jnp.float32), sy=jnp.asarray(100.0, jnp.float32),
+      bx=state.bx.at[0].set(34.0), by=state.by.at[0].set(102.0),
+      blive=state.blive.at[0].set(True))
+  s3, _, done, life_lost = sg.star_gunner_step(state, jnp.asarray(0))
+  assert int(s3.lives) == sg.LIVES - 1
+  assert bool(life_lost) and not bool(done)
