@@ -98,6 +98,10 @@ class EngineConfig:
         priority_exponent=a.priority_exponent,
         uniform_sample_probability=a.uniform_sample_probability,
         normalize_weights=a.normalize_weights,
+        # IS weights normalize per reference-batch chunk so throughput
+        # mode's big batches keep the reference's per-update weight scale
+        # (device_replay.ReplayConfig.normalize_weights_chunk).
+        normalize_weights_chunk=a.batch_size,
         use_pallas_gather=jax.default_backend() == "tpu",
     )
 

@@ -69,6 +69,16 @@ class ReplayConfig:
   priority_exponent: float = 0.0  # α; 0 → uniform replay
   uniform_sample_probability: float = 0.0  # mixture weight u
   normalize_weights: bool = True
+  # IS-weight normalizer granularity. The reference normalizes by the max
+  # over its batch of 32 (replay.py:211-243); a 32x bigger throughput-mode
+  # batch makes that max an extreme order statistic and crushes the mean
+  # weight ~2.3x (measured) — a hidden effective-LR cut that flatlined
+  # prioritized while uniform agents learned. Normalizing per chunk of
+  # `normalize_weights_chunk` samples reproduces the reference's
+  # per-update weight statistics exactly (a big batch IS the average of
+  # batch/chunk reference updates). 0 = single global max (old behavior;
+  # also what a chunk equal to the batch size degenerates to).
+  normalize_weights_chunk: int = 0
   use_pallas_gather: bool = False  # TPU: per-sample DMA window gathers
   pallas_interpret: bool = False  # CPU tests of the Pallas path
 
@@ -351,7 +361,14 @@ def replay_sample(
       1.0 / (jnp.maximum(probs, 1e-30) * jnp.maximum(n_active, 1.0)),
       importance_sampling_exponent)
   if cfg.normalize_weights:
-    weights = weights / jnp.maximum(jnp.max(weights), 1e-30)
+    c = cfg.normalize_weights_chunk
+    if c > 0 and batch_size > c and batch_size % c == 0:
+      # Per-reference-batch chunk normalization (see ReplayConfig).
+      w = weights.reshape(batch_size // c, c)
+      w = w / jnp.maximum(jnp.max(w, axis=1, keepdims=True), 1e-30)
+      weights = w.reshape(batch_size)
+    else:
+      weights = weights / jnp.maximum(jnp.max(weights), 1e-30)
   return batch, leaves, weights
 
 

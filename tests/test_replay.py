@@ -271,3 +271,39 @@ def test_fresh_replay_with_restored_insert_counter():
   assert not term.any()
   # max_seen_priority survives and continues to drive insert priorities.
   assert float(state.max_seen_priority) >= 7.5
+
+
+def test_is_weight_chunk_normalization_restores_reference_scale():
+  """Big-batch IS weights: normalizing by the GLOBAL batch max (an extreme
+  order statistic over 32x more samples than the reference's batch) crushes
+  the mean weight — a hidden effective-LR cut that flatlined the
+  prioritized agent at the chains' regime. Chunk normalization (one max
+  per reference-batch of samples) must (a) give each chunk max 1, (b)
+  yield a strictly larger mean weight than the global max, (c) degenerate
+  to the old behavior when chunking is off."""
+  cfg = make_cfg(n_step=1, priority_exponent=0.6,
+                 normalize_weights_chunk=16)
+  cfg0 = make_cfg(n_step=1, priority_exponent=0.6)
+  state = rp.replay_init(cfg)
+  # Two episodes fill the buffer; then spread priorities wide.
+  state = insert_rows(cfg, state, simple_episode(cfg, 8))
+  state = insert_rows(cfg, state, simple_episode(cfg, 6, start_step=8))
+  active = np.nonzero(np.asarray(
+      state.indicator_tree[0][:cfg.num_streams * cfg.slots_per_stream]))[0]
+  # All-distinct priorities so sampled probabilities (and hence weights)
+  # actually spread — equal priorities normalize to all-ones trivially.
+  prios = np.linspace(0.05, 4.0, len(active)) ** 2
+  state = rp.replay_update_priorities(
+      cfg, state, jnp.asarray(active, jnp.int32),
+      jnp.asarray(prios, jnp.float32))
+  _, _, w_chunk = rp.replay_sample(cfg, state, jax.random.PRNGKey(0), 128,
+                                   importance_sampling_exponent=0.9)
+  _, _, w_glob = rp.replay_sample(cfg0, state, jax.random.PRNGKey(0), 128,
+                                  importance_sampling_exponent=0.9)
+  w_chunk, w_glob = np.asarray(w_chunk), np.asarray(w_glob)
+  per_chunk_max = w_chunk.reshape(-1, 16).max(axis=1)
+  np.testing.assert_allclose(per_chunk_max, 1.0, rtol=1e-6)
+  assert w_chunk.mean() > w_glob.mean()
+  assert w_glob.max() == 1.0
+  # Same leaves sampled either way (normalization is downstream of choice).
+  assert w_chunk.shape == w_glob.shape

@@ -34,7 +34,17 @@ run_chain() {  # agent game iters frac
 }
 
 # 2M train + 0.5M eval frames per iteration (chain_train.sh).
-run_chain double_q breakout 8 0.25   # 16M frames, anneal 4M
+# DQN-family validation runs on PONG: breakout is slow for 1-step agents
+# in ALE and here (prioritized flat to 16M with the slow anneal, archived
+# in .logs/), while this exact regime demonstrably learns pong (round-3
+# dqn crossing at 22M). PER mechanics themselves are validated on catch
+# (tools/diag_catch_tpu.py parity runs: prioritized +0.33 vs dqn +0.30 at
+# 600k frames).
+run_chain double_q pong 12 0.17      # 24M frames, anneal ~4M
+# prioritized rerun AFTER the IS-weight chunk-normalization fix (its first
+# 24M-frame run was flat: global-max normalization over batch-1024 crushed
+# the mean IS weight ~2.3x — .logs/prioritized_pong_flat_isweights.csv).
+run_chain prioritized pong 12 0.17   # 24M frames, anneal ~4M
 run_chain c51 seaquest 5 0.4        # 10M frames, anneal 4M
 run_chain qrdqn seaquest 5 0.4      # 10M frames, anneal 4M
 run_chain iqn pong 10 0.2           # 20M frames, anneal 4M
