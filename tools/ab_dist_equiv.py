@@ -34,6 +34,8 @@ SEED = 3
 
 
 def run_leg(mesh_devices: int, csv_path: str) -> list:
+  if os.path.exists(csv_path):
+    os.unlink(csv_path)  # CsvWriter appends; stale rows would mix runs
   env = dict(os.environ)
   env["JAX_PLATFORMS"] = "cpu"
   env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
