@@ -428,6 +428,7 @@ def main(argv):
     rate = StepRateTracker()
     rate.update(0)
     frames_before = fence(state)
+    first_chunk_banked = False
     while done < n:
       k = min(100, n - done)
       state = train_chunk(k, state)
@@ -438,9 +439,18 @@ def main(argv):
         do_save(state, iteration, done)
         aborted = True
         break
-      if done < n and _SAVE_INTERVAL_SECONDS.value and \
-          time.monotonic() - last_save[0] > _SAVE_INTERVAL_SECONDS.value:
+      # Bank the leg's FIRST completed chunk immediately (not waiting for
+      # the save interval): under a degraded device lease (~18s after
+      # claim was observed 2026-08-21) the first post-restore execution
+      # is the slow one and legs died before their first interval save —
+      # four consecutive legs restored the same superstep. One extra save
+      # per leg is noise in healthy regimes and monotone progress in bad
+      # ones.
+      if done < n and _SAVE_INTERVAL_SECONDS.value and (
+          not first_chunk_banked
+          or time.monotonic() - last_save[0] > _SAVE_INTERVAL_SECONDS.value):
         do_save(state, iteration, done)
+        first_chunk_banked = True
     if aborted:
       break
     if n and over_budget():

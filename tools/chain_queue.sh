@@ -40,7 +40,7 @@ run_chain() {  # agent game iters frac
 # dqn crossing at 22M). PER mechanics themselves are validated on catch
 # (tools/diag_catch_tpu.py parity runs: prioritized +0.33 vs dqn +0.30 at
 # 600k frames).
-run_chain double_q pong 12 0.17      # 24M frames, anneal ~4M
+# (double_q/pong completed: results/double_q_pong_24M_seed3.csv)
 # prioritized rerun AFTER the IS-weight chunk-normalization fix (its first
 # 24M-frame run was flat: global-max normalization over batch-1024 crushed
 # the mean IS weight ~2.3x — .logs/prioritized_pong_flat_isweights.csv).

@@ -50,6 +50,8 @@ EOF
   # never arrives (observed 4x on 2026-08-20: 45s and 120s gaps both wedged
   # alternating runs, while runs started after a kill — immediate teardown —
   # always claimed fine). 300s clears the lingering lease; pair with
-  # tools/chain_watchdog.sh as the backstop.
-  sleep 300
+  # tools/chain_watchdog.sh as the backstop. After a lease-death exit
+  # (rc!=0) teardown is immediate — a shorter gap keeps the duty cycle up
+  # in degraded-lease regimes where every leg dies by revocation.
+  if [ "$rc" = "0" ]; then sleep 300; else sleep 120; fi
 done
