@@ -187,6 +187,7 @@ def test_cli_checkpoint_split_resume(tmp_path):
       rows[1]["train_exploration_epsilon"])
 
 
+@pytest.mark.slow
 def test_cli_mid_train_budget_resume(tmp_path):
   """Lease-budget workflow: with --max_run_seconds tiny, each process makes
   only chunk-level progress, saving MID-iteration (train_done in meta) and
@@ -275,6 +276,7 @@ def test_cli_mesh_devices_trains_on_cpu_mesh(tmp_path):
   assert os.path.exists(os.path.join(ckpt_path, "meta.npz"))
 
 
+@pytest.mark.slow
 def test_cli_mesh_mid_train_budget_resume(tmp_path):
   """Distributed driver under the lease budget: legs on the CPU mesh save
   MID-iteration and resume, mirroring the single-device workflow (the
